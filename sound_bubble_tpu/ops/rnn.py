@@ -1,0 +1,93 @@
+"""LSTM primitives with PyTorch cell semantics, built for the TPU.
+
+The reference's hot path is two LSTMs per GridNet block
+(`/root/reference/src/models/tfgridnet_realtime_clean_dis_embd3/tfgridnet_causal.py:566-902`):
+a bidirectional LSTM over the frequency axis and a stateful unidirectional
+LSTM over time. TPU-first design:
+
+- the input projection `x @ W_ih + b` is hoisted OUT of the recurrence and
+  computed for all timesteps in one large matmul (MXU), so the `lax.scan`
+  carries only the `h @ W_hh` recurrence (the irreducibly sequential part);
+- gate order is PyTorch's `[i, f, g, o]` and both biases are kept, so torch
+  checkpoints/tests map 1:1;
+- weights are stored transposed (`[in, 4H]`, `[H, 4H]`) for right-matmuls on
+  channel-minor activations.
+
+Params pytree per direction: {"w_ih": [C,4H], "w_hh": [H,4H], "b": [4H]}
+(`b` is b_ih + b_hh folded together; torch keeps them separate only for CUDNN
+compatibility, the math is identical — tests fold torch's two biases).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sound_bubble_tpu.ops.init import uniform_fan
+
+
+def init_lstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "w_ih": uniform_fan(k1, (in_dim, 4 * hidden), hidden, dtype),
+        "w_hh": uniform_fan(k2, (hidden, 4 * hidden), hidden, dtype),
+        # two torch biases folded into one (sum of two U(-b,b) draws)
+        "b": uniform_fan(k3, (4 * hidden,), hidden, dtype)
+        + uniform_fan(k4, (4 * hidden,), hidden, dtype),
+    }
+
+
+def _cell(h, c, gates_x, w_hh, hidden):
+    """One LSTM step. gates_x = x@W_ih + b precomputed. [B..., 4H]."""
+    gates = gates_x + h @ w_hh
+    i = jax.nn.sigmoid(gates[..., :hidden])
+    f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def lstm(params, x, h0=None, c0=None, reverse: bool = False):
+    """Run an LSTM along axis -2 of `x`.
+
+    Args:
+      params: {"w_ih","w_hh","b"}.
+      x: [..., T, C] inputs.
+      h0, c0: [..., H] initial state (zeros if None).
+      reverse: scan right-to-left (for the backward half of a BLSTM).
+
+    Returns: (y [..., T, H], (hT, cT) [..., H]).
+    """
+    hidden = params["w_hh"].shape[0]
+    gates_x = x @ params["w_ih"] + params["b"]  # [..., T, 4H] one big matmul
+    lead = x.shape[:-2]
+    if h0 is None:
+        h0 = jnp.zeros(lead + (hidden,), x.dtype)
+    if c0 is None:
+        c0 = jnp.zeros(lead + (hidden,), x.dtype)
+
+    def step(carry, gx):
+        h, c = carry
+        h, c = _cell(h, c, gx, params["w_hh"], hidden)
+        return (h, c), h
+
+    gx_t = jnp.moveaxis(gates_x, -2, 0)  # [T, ..., 4H] scan-major
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), gx_t, reverse=reverse)
+    y = jnp.moveaxis(ys, 0, -2)
+    return y, (hT, cT)
+
+
+def init_blstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
+    kf, kb = jax.random.split(key)
+    return {
+        "fwd": init_lstm_params(kf, in_dim, hidden, dtype),
+        "bwd": init_lstm_params(kb, in_dim, hidden, dtype),
+    }
+
+
+def blstm(params, x):
+    """Bidirectional LSTM over axis -2; concat outputs -> [..., T, 2H]."""
+    yf, _ = lstm(params["fwd"], x)
+    yb, _ = lstm(params["bwd"], x, reverse=True)
+    return jnp.concatenate([yf, yb], axis=-1)

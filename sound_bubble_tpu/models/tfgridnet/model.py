@@ -414,9 +414,6 @@ class Net(nn.Module):
     """
     cfg: NetConfig
 
-    def setup(self):
-        self.fb = make_stft(self.cfg.n_fft, self.cfg.stft_chunk_size)
-
     def init_buffers(self, batch_size):
         return init_state(self.cfg, batch_size)
 
@@ -439,14 +436,14 @@ class Net(nn.Module):
             y = y[..., :-mod]
         return {"output": y, "next_state": next_state}
 
-    @nn.compact_name_scope
     def _core(self, x, emb, state):
         cfg = self.cfg
+        fb = make_stft(cfg.n_fft, cfg.stft_chunk_size, dtype=x.dtype)
         F = cfg.n_freqs
         B = x.shape[0]
         next_state = dict(state)
 
-        spec = stft(self.fb, x)                      # [B, M, T, 2F]
+        spec = stft(fb, x)                           # [B, M, T, 2F]
         T = spec.shape[2]
         real, imag = spec[..., :F], spec[..., F:]
 
@@ -485,7 +482,7 @@ class Net(nn.Module):
 
         full_spec = jnp.concatenate([state["istft_buf"], est], axis=2)
         next_state["istft_buf"] = full_spec[:, :, -cfg.istft_lookback:]
-        y = istft(self.fb, full_spec)
+        y = istft(fb, full_spec)
         lookahead_pad = cfg.n_fft - cfg.stft_chunk_size
         y = y[..., :-lookahead_pad]
         y = y[..., cfg.istft_lookback * cfg.stft_chunk_size:]

@@ -1,0 +1,128 @@
+"""Loss-family tests: formula oracles in numpy + behavioral invariants."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sound_bubble_tpu.losses import (
+    CompositeLoss, LogPowerLoss, MultiResoFuseLoss, MultiResolutionSTFTLoss,
+    PLCPALoss, SNRLosses, SNRLPLoss, neg_sdr,
+)
+
+
+def _np_neg_sdr(est, target, kind):
+    eps = 1e-8
+    est = est - est.mean(-1, keepdims=True)
+    target = target - target.mean(-1, keepdims=True)
+    if kind in ("sisdr", "sdsdr"):
+        dot = np.sum(est * target, -1, keepdims=True)
+        scaled = dot * target / (np.sum(target ** 2, -1, keepdims=True) + eps)
+    else:
+        scaled = target
+    e = est - (target if kind in ("snr", "sdsdr") else scaled)
+    r = np.sum(scaled ** 2, -1) / (np.sum(e ** 2, -1) + eps)
+    return -10 * np.log10(r + eps)
+
+
+@pytest.mark.parametrize("kind", ["snr", "sisdr", "sdsdr"])
+def test_neg_sdr_formula(rng, kind):
+    est = rng.standard_normal((4, 1000)).astype(np.float32)
+    gt = rng.standard_normal((4, 1000)).astype(np.float32)
+    got = np.asarray(neg_sdr(jnp.asarray(est), jnp.asarray(gt), kind))
+    np.testing.assert_allclose(got, _np_neg_sdr(est, gt, kind), atol=1e-4)
+
+
+def test_neg_sdr_perfect_reconstruction(rng):
+    gt = rng.standard_normal((2, 2000)).astype(np.float32)
+    v = np.asarray(neg_sdr(jnp.asarray(gt), jnp.asarray(gt), "snr"))
+    assert (v < -70).all()  # ~ -80 dB == eps floor
+    # scale invariance of sisdr: scaled copy is still at the numerical floor
+    v1 = np.asarray(neg_sdr(jnp.asarray(3.7 * gt), jnp.asarray(gt), "sisdr"))
+    assert (v1 < -70).all()
+
+
+def test_snr_losses_variants(rng):
+    est = jnp.asarray(rng.standard_normal((3, 1, 500)).astype(np.float32))
+    gt = jnp.asarray(rng.standard_normal((3, 1, 500)).astype(np.float32))
+    snr_v = SNRLosses("snr")(est, gt)
+    si_v = SNRLosses("sisdr")(est, gt)
+    np.testing.assert_allclose(np.asarray(SNRLosses("fused")(est, gt)),
+                               0.5 * np.asarray(si_v) + 0.5 * np.asarray(snr_v),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(SNRLosses("max_fused")(est, gt)),
+                               np.maximum(np.asarray(si_v), np.asarray(snr_v)),
+                               atol=1e-5)
+    with pytest.raises(AssertionError):
+        SNRLosses("nope")
+
+
+def test_snrlp_mixed_batch(rng):
+    """Positive rows get per-sample SNR; negative rows share one scalar
+    L1 * neg_weight (reference `SNRLP.py` semantics)."""
+    est = rng.standard_normal((4, 1, 300)).astype(np.float32)
+    gt = rng.standard_normal((4, 1, 300)).astype(np.float32)
+    gt[1] = 0.0
+    gt[3] = 0.0
+    loss = np.asarray(SNRLPLoss("snr", neg_weight=100)(jnp.asarray(est),
+                                                       jnp.asarray(gt)))
+    neg_expect = np.mean(np.abs(est[[1, 3]])) * 100
+    np.testing.assert_allclose(loss[1], neg_expect, rtol=1e-5)
+    np.testing.assert_allclose(loss[3], neg_expect, rtol=1e-5)
+    np.testing.assert_allclose(loss[0], _np_neg_sdr(est[0, 0], gt[0, 0], "snr"),
+                               atol=1e-4)
+    # all-positive batch
+    gt2 = rng.standard_normal((2, 1, 300)).astype(np.float32)
+    l2 = SNRLPLoss("snr", 100)(jnp.asarray(est[:2]), jnp.asarray(gt2))
+    np.testing.assert_allclose(np.asarray(l2),
+                               _np_neg_sdr(est[:2, 0], gt2[:, 0], "snr"),
+                               atol=1e-4)
+
+
+def test_logpower_and_composite(rng):
+    est = jnp.asarray(rng.standard_normal((2, 1, 400)).astype(np.float32))
+    zeros = jnp.zeros_like(est)
+    lp = np.asarray(LogPowerLoss()(est, zeros))
+    np.testing.assert_allclose(
+        lp, 10 * np.log10(np.sum(np.asarray(est)[:, 0] ** 2, -1) + 1e-3),
+        rtol=1e-5)
+    c = CompositeLoss()(est, est)
+    assert np.asarray(c) < 1e-2  # pos: l1=0, sisdr at eps floor -> small
+
+
+def test_multires_stft_loss(rng):
+    gt = jnp.asarray(rng.standard_normal((2, 1, 6000)).astype(np.float32))
+    est_same = gt
+    est_noise = gt + 0.5 * jnp.asarray(
+        rng.standard_normal((2, 1, 6000)).astype(np.float32))
+    fn = MultiResoFuseLoss(l1_ratio=10, sample_rate=24000,
+                           perceptual_weighting=True, w_sc=0, w_log_mag=0,
+                           w_lin_mag=20)
+    l_same = float(fn(est_same, gt))
+    l_noise = float(fn(est_noise, gt))
+    assert l_same < 1e-4
+    assert l_noise > l_same + 0.1
+    # default auraloss weights path
+    fn2 = MultiResolutionSTFTLoss()
+    assert float(fn2(est_noise, gt)) > float(fn2(est_same, gt))
+
+
+def test_a_weighting_response():
+    """The FIR must approximate the A-curve: ~0 dB at 1 kHz, strong LF cut."""
+    import scipy.signal
+    from sound_bubble_tpu.losses.multires_stft import a_weighting_fir
+    taps = a_weighting_fir(24000)
+    w, h = scipy.signal.freqz(taps, 1, worN=2048, fs=24000)
+    def mag_at(f):
+        return 20 * np.log10(np.abs(h[np.argmin(np.abs(w - f))]) + 1e-12)
+    assert abs(mag_at(1000)) < 1.5
+    assert mag_at(50) < -25
+    assert mag_at(100) < -15
+
+
+def test_plcpa(rng):
+    gt = jnp.asarray(rng.standard_normal((2, 1, 4000)).astype(np.float32))
+    est = gt + 0.3 * jnp.asarray(
+        rng.standard_normal((2, 1, 4000)).astype(np.float32))
+    assert float(PLCPALoss()(gt, gt)) < 1e-6
+    assert float(PLCPALoss()(est, gt)) > 1e-4
+    t, l, a = PLCPALoss(scale_asym=1.0, return_all=True)(est, gt)
+    assert float(t) >= float(l)

@@ -495,3 +495,15 @@ def make_net(model_params: dict, conditional: bool = True) -> Net:
     kwargs = {k: v for k, v in model_params.items() if k in known}
     kwargs["conditional"] = conditional
     return Net(NetConfig(**kwargs))
+
+
+def net_from_params(**model_params) -> Net:
+    """Config-system entry point: the distance-conditioned production model
+    (reference `tfgridnet_realtime_clean_dis_embd3.net.Net`)."""
+    return make_net(model_params, conditional=True)
+
+
+def net_optim_from_params(**model_params) -> Net:
+    """Config-system entry point: unconditioned edge variant
+    (reference `tfgridnet_realtime_clean_optim.net.Net`)."""
+    return make_net(model_params, conditional=False)

@@ -1,0 +1,117 @@
+"""End-to-end trainer tests: config -> datasets -> PLModule -> epochs ->
+checkpoints -> resume, on the hermetic fixture data (CPU, tiny model)."""
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+
+from tests.fixture_data import make_synthetic_dataset
+
+TINY_MODEL = {
+    "stft_chunk_size": 32, "stft_pad_size": 16, "num_ch": 6, "D": 8, "L": 2,
+    "I": 1, "J": 1, "B": 2, "H": 8, "E": 2, "use_attn": False,
+    "lookahead": True, "chunk_causal": True, "use_first_ln": True,
+    "merge_method": "early_cat", "conv_lstm": False, "dis_type": "conv3",
+}
+
+
+def _make_config(tmp_path, train_dir, val_dir):
+    cfg = {
+        "project_name": "test",
+        "pl_module": "src.hl_modules.distance_based_hl_module.PLModule",
+        "pl_module_args": {
+            "metrics": ["snr_i", "si_snr_i", "si_sdr_i"],
+            "model": "src.models.tfgridnet_realtime_clean_dis_embd3.net.Net",
+            "model_params": TINY_MODEL,
+            "samples_per_speaker_number": 2,
+            "optimizer": "torch.optim.Adam",
+            "optimizer_params": {"lr": 1e-3},
+            "loss": "src.losses.SNRLP.SNRLPLoss",
+            "loss_params": {"snr_loss_name": "snr", "neg_weight": 100},
+            "scheduler": "torch.optim.lr_scheduler.ReduceLROnPlateau",
+            "scheduler_params": {"mode": "min", "patience": 8, "factor": 0.5,
+                                 "min_lr": 1e-6},
+            "sr": 24000,
+            "grad_clip": 1,
+        },
+        "train_dataset": "src.datasets.general_multisrc_dataset_dis_embed.Dataset",
+        "train_data_args": {
+            "dataset_dirs": [{"path": str(train_dir), "max_samples": 4}],
+            "prob_neg": 0,
+            "mic_config": ["mic00", "mic01", "mic02", "mic03", "mic04", "mic05"],
+            "downsample": 1, "perturbations": [],
+        },
+        "val_dataset": "src.datasets.general_multisrc_dataset_dis_embed.Dataset",
+        "val_data_args": {
+            "dataset_dirs": [{"path": str(val_dir), "max_samples": 2}],
+            "prob_neg": 0,
+            "mic_config": ["mic00", "mic01", "mic02", "mic03", "mic04", "mic05"],
+            "downsample": 1,
+        },
+        "epochs": 2, "batch_size": 2, "eval_batch_size": 2, "num_workers": 0,
+    }
+    path = tmp_path / "config.json"
+    path.write_text(json.dumps(cfg))
+    return path
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_synthetic_dataset(root, "syn_1m", "train", n_samples=4,
+                           duration=0.25)
+    make_synthetic_dataset(root, "syn_1m", "val", n_samples=2, seed=1,
+                           duration=0.25)
+    return root
+
+
+def test_dataset_semantics(data_root):
+    from sound_bubble_tpu.data.dataset import DistanceEmbedDataset
+    ds = DistanceEmbedDataset(
+        dataset_dirs=[{"path": str(data_root / "syn_1m" / "train"),
+                       "max_samples": 4}],
+        mic_config=[f"mic{i:02d}" for i in range(6)], split="train")
+    assert len(ds) == 4
+    inputs, targets = ds[0]  # dists (0.8, 2.5), radius 1m -> 1 inside
+    assert inputs["mixture"].shape[0] == 6
+    assert np.allclose(inputs["dis_embed"], [0, 0, 1])
+    assert targets["num_target_speakers"] == 1
+    assert targets["num_interfering_speakers"] == 1
+    _, t2 = ds[2]  # (2.5, 3.0): nobody inside -> zero target
+    assert t2["num_target_speakers"] == 0
+    assert np.abs(t2["target"]).max() == 0
+
+
+def test_full_training_run(data_root, tmp_path):
+    from src.train_pt import train
+    cfg_path = _make_config(tmp_path, data_root / "syn_1m" / "train",
+                            data_root / "syn_1m" / "val")
+    run_dir = tmp_path / "run"
+    args = types.SimpleNamespace(config=str(cfg_path), run_dir=str(run_dir),
+                                 seed=0, use_nondeterministic_cudnn=False,
+                                 project_name="test")
+    train(args)
+    assert (run_dir / "checkpoints" / "last.pt").exists()
+    assert (run_dir / "checkpoints" / "best.pt").exists()
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "metrics.jsonl").exists()
+
+    # resume: module restarts at epoch 2 (no new epochs to run)
+    import sound_bubble_tpu.utils as utils
+    from sound_bubble_tpu.train.checkpoint import load_checkpoint
+    st = load_checkpoint(run_dir / "checkpoints" / "last.pt")
+    assert st["current_epoch"] == 2
+    assert 0 in st["metric_values"] and 1 in st["metric_values"]
+    # loss should be finite and logged every epoch
+    for ep in (0, 1):
+        e = st["metric_values"][ep]["train/loss"]
+        assert np.isfinite(e["epoch"] / e["num_elements"])
+
+    # loading the checkpoint back reproduces params
+    module = utils.load_torch_pretrained(str(run_dir))
+    assert module.epoch >= 1
+    out = module.model({"mixture": np.zeros((1, 6, 320), np.float32),
+                        "dis_embed": np.asarray([[0, 0, 1.0]], np.float32)})
+    assert out["output"].shape == (1, 1, 320)

@@ -1,0 +1,85 @@
+"""Streaming RTF benchmark — prints ONE JSON line.
+
+Measures the production model's per-8ms-chunk streaming step on the attached
+accelerator. The chunks are chained with `lax.scan` inside one jitted program
+(the state dependency makes this the honest single-stream streaming measure,
+and keeps host<->device dispatch out of the number — the axon tunnel adds
+~40 ms per dispatch, see .claude/skills/verify/SKILL.md).
+
+Baseline: the reference runs 6.36 ms compute per 8 ms chunk on its embedded
+CPU (README.md:9) => RTF 1.258x. vs_baseline = our_rtf / 1.258.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+SERVING_BATCH = 32  # concurrent streams per chip in throughput mode
+
+
+def _measure(net, cfg, batch, n_chunks=125, repeats=5):
+    import jax
+    import jax.numpy as jnp
+
+    from sound_bubble_tpu.models.tfgridnet.model import init_state
+
+    chunk, pad = cfg.stft_chunk_size, cfg.stft_pad_size
+    rng = np.random.default_rng(0)
+    windows = jnp.asarray(rng.standard_normal(
+        (n_chunks, batch, cfg.num_ch, chunk + pad)).astype(np.float32))
+    emb = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (batch, 1))
+    variables = net.init(jax.random.PRNGKey(0),
+                         {"mixture": windows[0], "dis_embed": emb})
+    state0 = init_state(cfg, batch)
+
+    def scan_stream(params, windows, state):
+        def body(st, win):
+            out = net.apply({"params": params},
+                            {"mixture": win, "dis_embed": emb}, st, pad=False)
+            return out["next_state"], out["output"]
+
+        return jax.lax.scan(body, state, windows)
+
+    run = jax.jit(scan_stream)
+    jax.block_until_ready(run(variables["params"], windows, state0)[1])
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, ys = run(variables["params"], windows, state0)
+        jax.block_until_ready(ys)
+        times.append(time.perf_counter() - t0)
+    return min(times) / n_chunks * 1e3  # ms per chunk step
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import PROD_MODEL
+    from sound_bubble_tpu.models.tfgridnet.model import make_net
+
+    net = make_net(PROD_MODEL)
+    cfg = net.cfg
+    single_ms = _measure(net, cfg, batch=1)
+    batch_ms = _measure(net, cfg, batch=SERVING_BATCH)
+
+    single_rtf = 8.0 / single_ms
+    throughput_rtf = SERVING_BATCH * 8.0 / batch_ms
+    baseline_rtf = 8.0 / 6.36  # reference: 6.36 ms per 8 ms chunk on edge CPU
+    print(json.dumps({
+        "metric": "streaming_rtf_per_chip",
+        "value": round(throughput_rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(throughput_rtf / baseline_rtf, 1),
+        "single_stream_rtf": round(single_rtf, 2),
+        "single_stream_ms_per_8ms_chunk": round(single_ms, 4),
+        "serving_batch": SERVING_BATCH,
+        "batch_ms_per_chunk": round(batch_ms, 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

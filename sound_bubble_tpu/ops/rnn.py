@@ -19,10 +19,15 @@ compatibility, the math is identical — tests fold torch's two biases).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from sound_bubble_tpu.ops.init import uniform_fan
+
+# scan unroll factor: 1 measured fastest on TPU v5e (see bench.py history)
+_UNROLL = int(os.environ.get("SB_LSTM_UNROLL", "1"))
 
 
 def init_lstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
@@ -48,7 +53,8 @@ def _cell(h, c, gates_x, w_hh, hidden):
     return h, c
 
 
-def lstm(params, x, h0=None, c0=None, reverse: bool = False):
+def lstm(params, x, h0=None, c0=None, reverse: bool = False,
+         unroll: int | None = None):
     """Run an LSTM along axis -2 of `x`.
 
     Args:
@@ -56,6 +62,7 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False):
       x: [..., T, C] inputs.
       h0, c0: [..., H] initial state (zeros if None).
       reverse: scan right-to-left (for the backward half of a BLSTM).
+      unroll: scan unroll factor (amortizes XLA loop overhead on TPU).
 
     Returns: (y [..., T, H], (hT, cT) [..., H]).
     """
@@ -72,8 +79,10 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False):
         h, c = _cell(h, c, gx, params["w_hh"], hidden)
         return (h, c), h
 
+    unroll = _UNROLL if unroll is None else unroll
     gx_t = jnp.moveaxis(gates_x, -2, 0)  # [T, ..., 4H] scan-major
-    (hT, cT), ys = jax.lax.scan(step, (h0, c0), gx_t, reverse=reverse)
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), gx_t, reverse=reverse,
+                                unroll=min(unroll, x.shape[-2]))
     y = jnp.moveaxis(ys, 0, -2)
     return y, (hT, cT)
 
@@ -86,8 +95,39 @@ def init_blstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
     }
 
 
-def blstm(params, x):
-    """Bidirectional LSTM over axis -2; concat outputs -> [..., T, 2H]."""
-    yf, _ = lstm(params["fwd"], x)
-    yb, _ = lstm(params["bwd"], x, reverse=True)
-    return jnp.concatenate([yf, yb], axis=-1)
+def blstm(params, x, unroll: int | None = None):
+    """Bidirectional LSTM over axis -2; concat outputs -> [..., T, 2H].
+
+    TPU-first trick: both directions run in ONE scan of length T — the
+    backward half processes the time-reversed sequence, with the two weight
+    sets stacked on a leading "direction" axis so each step is a single
+    batched matmul. Halves the sequential-step count vs two scans.
+    """
+    fwd, bwd = params["fwd"], params["bwd"]
+    hidden = fwd["w_hh"].shape[0]
+    t = x.shape[-2]
+    w_ih = jnp.stack([fwd["w_ih"], bwd["w_ih"]])      # [2, C, 4H]
+    w_hh = jnp.stack([fwd["w_hh"], bwd["w_hh"]])      # [2, H, 4H]
+    b = jnp.stack([fwd["b"], bwd["b"]])               # [2, 4H]
+    xx = jnp.stack([x, jnp.flip(x, axis=-2)])         # [2, ..., T, C]
+    gates_x = jnp.einsum("d...tc,dch->d...th", xx, w_ih) + \
+        b.reshape((2,) + (1,) * (x.ndim - 1) + (4 * hidden,))
+    lead = xx.shape[:-2]
+    h0 = jnp.zeros(lead + (hidden,), x.dtype)
+
+    def step(carry, gx):
+        h, c = carry
+        gates = gx + jnp.einsum("d...h,dhk->d...k", h, w_hh)
+        i = jax.nn.sigmoid(gates[..., :hidden])
+        f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    unroll = _UNROLL if unroll is None else unroll
+    gx_t = jnp.moveaxis(gates_x, -2, 0)               # [T, 2, ..., 4H]
+    _, ys = jax.lax.scan(step, (h0, h0), gx_t, unroll=min(unroll, t))
+    ys = jnp.moveaxis(ys, 0, -2)                      # [2, ..., T, H]
+    return jnp.concatenate([ys[0], jnp.flip(ys[1], axis=-2)], axis=-1)

@@ -102,6 +102,33 @@ def read_json(path):
         return json.load(f)
 
 
+def read_audio_file(file_path, sr):
+    """Read audio resampled to `sr` (librosa.load semantics: float [C, T])."""
+    from sound_bubble_tpu.data.audio_io import read_audio_file as _read
+    from sound_bubble_tpu.data.audio_io import read_audio_sr
+    from sound_bubble_tpu.data.resample import resample_poly_np
+
+    data = _read(file_path)
+    orig = read_audio_sr(file_path)
+    if sr is not None and orig != sr:
+        data = resample_poly_np(data, sr, orig)
+    return data
+
+
+def write_audio_file(file_path, data, sr, subtype="PCM_16"):
+    from sound_bubble_tpu.data.audio_io import write_audio_file as _write
+
+    _write(file_path, data, sr, subtype)
+
+
+def save_audio_file(file_path, wavform, sample_rate=48000, rescale=True):
+    """Reference `save_audio_file_torch`: peak-normalize to 0.9 then write."""
+    wavform = np.asarray(wavform)
+    if rescale:
+        wavform = wavform / np.max(wavform) * 0.9
+    write_audio_file(file_path, wavform, sample_rate)
+
+
 def seed_all(seed: int):
     random.seed(seed)
     np.random.seed(seed)

@@ -18,12 +18,34 @@ the MXU. Note `Im(DFT) = -sin`, matching `np.fft.fft` used by the reference.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Export workaround: the TFLite converter's reshape-into-batchmatmul fusion
+# produces invalid rank-4 `tfl.batch_matmul` ops when the reshape introduces
+# singleton dims (streaming T=1). An optimization_barrier between the matmul
+# and the reshape blocks that fusion; it is OFF by default (no effect on TPU
+# compilation) and enabled only while exporting (runtime/export.py).
+_EXPORT_BARRIERS = False
+
+
+@contextlib.contextmanager
+def export_barriers():
+    global _EXPORT_BARRIERS
+    _EXPORT_BARRIERS = True
+    try:
+        yield
+    finally:
+        _EXPORT_BARRIERS = False
+
+
+def _barrier(x):
+    return jax.lax.optimization_barrier(x) if _EXPORT_BARRIERS else x
 
 
 def stft_filterbank(n_fft: int, kernel_size: int, stride: int) -> np.ndarray:
@@ -91,30 +113,44 @@ def frame(x: jnp.ndarray, kernel_size: int, stride: int) -> jnp.ndarray:
 
 
 def overlap_add(frames: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """[..., T, K] -> [..., (T-1)*stride + K] by summing shifted frames."""
+    """[..., T, K] -> [..., (T-1)*stride + K] by summing shifted frames.
+
+    Pure reshape/pad/add (no scatter — scatters are slow on TPU and
+    unsupported by several export runtimes)."""
     t, k = frames.shape[-2], frames.shape[-1]
     n = (t - 1) * stride + k
     n_pieces = -(-k // stride)
     lead = frames.shape[:-2]
-    total = jnp.zeros(lead + (n + n_pieces * stride,), frames.dtype)
-    fpad = jnp.pad(frames, [(0, 0)] * len(lead) + [(0, 0), (0, n_pieces * stride - k)])
+    pads0 = [(0, 0)] * len(lead)
+    fpad = jnp.pad(frames, pads0 + [(0, 0), (0, n_pieces * stride - k)])
+    total_len = n + n_pieces * stride
+    total = jnp.zeros(lead + (total_len,), frames.dtype)
     for i in range(n_pieces):
-        piece = fpad[..., :, i * stride:(i + 1) * stride].reshape(lead + (t * stride,))
-        total = total.at[..., i * stride:(i + t) * stride].add(piece)
+        piece = fpad[..., :, i * stride:(i + 1) * stride]
+        piece = piece.reshape(lead + (t * stride,))
+        total = total + jnp.pad(
+            piece, pads0 + [(i * stride, total_len - (i + t) * stride)])
     return total[..., :n]
 
 
 def stft(fb: STFT, x: jnp.ndarray) -> jnp.ndarray:
-    """[..., N] -> [..., T, 2F] (real spectrum rows then imag rows, minor)."""
+    """[..., N] -> [..., T, 2F] (real spectrum rows then imag rows, minor).
+
+    The projection is a flat 2-D matmul (leading dims folded) — identical
+    math, and rank-2 dots survive every export backend (TFLite's batch_matmul
+    is rank-3-only)."""
     frames = frame(x, fb.kernel_size, fb.stride)
-    return jnp.einsum("...tk,fk->...tf", frames, fb.filters,
-                      preferred_element_type=frames.dtype)
+    lead = frames.shape[:-1]
+    flat = frames.reshape(-1, fb.kernel_size)
+    out = _barrier(flat @ fb.filters.T)
+    return out.reshape(lead + (out.shape[-1],))
 
 
 def istft(fb: STFT, spec: jnp.ndarray) -> jnp.ndarray:
     """[..., T, 2F] -> [..., (T-1)*stride + K] via transposed filterbank."""
-    frames = jnp.einsum("...tf,fk->...tk", spec, fb.filters,
-                        preferred_element_type=spec.dtype)
+    lead = spec.shape[:-1]
+    flat = spec.reshape(-1, spec.shape[-1])
+    frames = _barrier(flat @ fb.filters).reshape(lead + (fb.kernel_size,))
     return overlap_add(frames, fb.stride)
 
 

@@ -1,0 +1,158 @@
+"""Model export for edge/serving deployment.
+
+The reference exports TorchJIT -> ONNX -> TFLite with flattened positional
+state I/O (`/root/reference/edge/to_onnx.py`). TPU-native equivalents:
+
+- **StableHLO** (`jax.export`): portable compiled-IR artifact for any PJRT
+  runtime and for ahead-of-time deployment;
+- **TFLite** (`jax2tf` + TF Lite converter): the edge-CPU artifact, with the
+  same `(mixture, *state_buffers) -> (filtered_output, *next_buffers)`
+  positional signature and `::`-path buffer names as the reference;
+- **weights blob**: a flat binary (name,shape,dtype,bytes records) consumed by
+  the native C++ streaming engine in `native/`;
+- **replication fixtures**: named .npy inputs/outputs for cross-runtime
+  conformance (reference `models/test_data/replication_test` layout).
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sound_bubble_tpu.models.tfgridnet.model import init_state
+from sound_bubble_tpu.runtime.flatbuf import (
+    flatten_state_buffers, unflatten_state_buffers,
+)
+
+
+def make_flat_step(net, params, dis_embed=None):
+    """Return (fn, buffer_names, buffers0, example_mix): fn(mix, *buffers) ->
+    (out, *next_buffers), the export signature."""
+    cfg = net.cfg
+    state0 = init_state(cfg, 1)
+    names, bufs0 = flatten_state_buffers(state0)
+    if dis_embed is None:
+        dis_embed = jnp.asarray([[0.0, 0.0, 1.0]])
+
+    def fn(mix, *buffers):
+        state = unflatten_state_buffers(names, list(buffers))
+        inputs = {"mixture": mix}
+        if cfg.conditional:
+            inputs["dis_embed"] = dis_embed
+        out = net.apply({"params": params}, inputs, state, pad=False)
+        next_names, next_bufs = flatten_state_buffers(out["next_state"])
+        assert next_names == names
+        return (out["output"], *next_bufs)
+
+    example_mix = jnp.zeros((1, cfg.num_ch,
+                             cfg.stft_chunk_size + cfg.stft_pad_size),
+                            jnp.float32)
+    return fn, names, bufs0, example_mix
+
+
+def export_stablehlo(net, params, path: str, dis_embed=None) -> str:
+    """Serialize the streaming step as a StableHLO artifact."""
+    fn, names, bufs0, mix = make_flat_step(net, params, dis_embed)
+    exported = jax.export.export(jax.jit(fn))(mix, *bufs0)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"input_names": ["mixture"] + names,
+                   "output_names": ["filtered_output"]
+                   + [f"out::{n}" for n in names]}, f, indent=2)
+    return path
+
+
+def export_tflite(net, params, path: str, dis_embed=None) -> str:
+    """jax2tf -> TFLite with named positional I/O."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from sound_bubble_tpu.ops.stft import export_barriers
+
+    fn, names, bufs0, mix = make_flat_step(net, params, dis_embed)
+    tf_fn = jax2tf.convert(fn, with_gradient=False)
+    specs = [tf.TensorSpec(mix.shape, tf.float32, name="mixture")] + [
+        tf.TensorSpec(b.shape, tf.float32, name=n.replace(":", "_"))
+        for n, b in zip(names, bufs0)]
+    wrapped = tf.function(tf_fn, input_signature=specs, autograph=False)
+    with export_barriers():
+        converter = tf.lite.TFLiteConverter.from_concrete_functions(
+            [wrapped.get_concrete_function()])
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+        blob = converter.convert()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def export_weights_blob(params, path: str) -> str:
+    """Flat binary for the native C++ engine: little-endian records of
+    [u32 name_len][name][u8 ndim][u32 dims...][u32 nbytes][f32 data]."""
+    leaves = {}
+
+    def walk(prefix, tree):
+        for k in sorted(tree.keys()):
+            v = tree[k]
+            if isinstance(v, dict):
+                walk(prefix + k + ".", v)
+            else:
+                leaves[prefix + k] = np.asarray(v, np.float32)
+
+    walk("", params)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"SBTW0001")
+        f.write(struct.pack("<I", len(leaves)))
+        for name, arr in leaves.items():
+            nb = name.encode()
+            f.write(struct.pack("<I", len(nb)))
+            f.write(nb)
+            f.write(struct.pack("<B", arr.ndim))
+            for d in arr.shape:
+                f.write(struct.pack("<I", d))
+            data = np.ascontiguousarray(arr).tobytes()
+            f.write(struct.pack("<I", len(data)))
+            f.write(data)
+    return path
+
+
+def dump_replication_fixtures(net, params, out_dir: str, dis_embed=None,
+                              seed: int = 0) -> None:
+    """Reference `models/test_data/replication_test` layout: input_names.txt,
+    output_names.txt and one .npy per named tensor."""
+    fn, names, bufs0, mix = make_flat_step(net, params, dis_embed)
+    rng = np.random.default_rng(seed)
+    mix = jnp.asarray(rng.standard_normal(mix.shape).astype(np.float32) * 10)
+    outs = jax.jit(fn)(mix, *bufs0)
+
+    os.makedirs(out_dir, exist_ok=True)
+    input_names = ["mixture"] + names
+    output_names = ["filtered_output"] + [f"out::{n}" for n in names]
+    with open(os.path.join(out_dir, "input_names.txt"), "w") as f:
+        f.write("\n".join(input_names))
+    with open(os.path.join(out_dir, "output_names.txt"), "w") as f:
+        f.write("\n".join(output_names))
+    np.save(os.path.join(out_dir, "mixture.npy"), np.asarray(mix))
+    for n, b in zip(names, bufs0):
+        np.save(os.path.join(out_dir, f"{n}.npy"), np.asarray(b))
+    for n, o in zip(output_names, outs):
+        np.save(os.path.join(out_dir, f"{n}.npy"), np.asarray(o))
+
+
+def load_inputs(test_path: str):
+    """Reference `edge/edge_utils.load_inputs`."""
+    with open(os.path.join(test_path, "input_names.txt")) as f:
+        names = [x.strip() for x in f.readlines()]
+    mixture = np.load(os.path.join(test_path, "mixture.npy"))
+    names.remove("mixture")
+    buffers = [np.load(os.path.join(test_path, f"{n}.npy")) for n in names]
+    return mixture, names, buffers

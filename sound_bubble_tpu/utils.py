@@ -134,6 +134,18 @@ def seed_all(seed: int):
     np.random.seed(seed)
 
 
+def ensure_platform():
+    """Honor JAX_PLATFORMS even when a platform plugin force-overrides it.
+
+    The axon TPU plugin re-registers itself at import time, so the env var
+    alone is ignored; calling this before any jax computation re-pins the
+    backend the user asked for. No-op when the env var is unset."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
+
 def load_net(experiment_config, return_params: bool = False):
     """Build the PLModule described by a config (no checkpoint)."""
     params = Params(experiment_config)

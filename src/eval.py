@@ -10,6 +10,8 @@ import json
 import os
 
 import numpy as np
+
+from sound_bubble_tpu.utils import ensure_platform as _ensure_platform
 import pandas as pd
 
 import sound_bubble_tpu.utils as utils
@@ -24,6 +26,7 @@ def load_testcase(sample_dir, args):
 
 
 def main(args: argparse.Namespace):
+    _ensure_platform()
     os.makedirs(args.output_dir, exist_ok=True)
     sample_dirs = sorted(glob.glob(os.path.join(args.test_dir, "*")))
 

@@ -10,6 +10,8 @@ import os
 
 import numpy as np
 
+from sound_bubble_tpu.utils import ensure_platform as _ensure_platform
+
 import sound_bubble_tpu.utils as utils
 from sound_bubble_tpu.evaluation import load_testcase as _load, run_testcase
 from sound_bubble_tpu.metrics.metrics import Metrics, compute_decay
@@ -21,6 +23,7 @@ def load_testcase(sample_dir, args):
 
 
 def main(args: argparse.Namespace):
+    _ensure_platform()
     sample_dirs = sorted(glob.glob(os.path.join(args.test_dir, "*")))
     model = utils.load_torch_pretrained(args.run_dir).model
     model.eval()

@@ -28,6 +28,7 @@ def seed_from_epoch(seed):
 
 def train(args: argparse.Namespace):
     global CURRENT_EPOCH
+    utils.ensure_platform()
     utils.seed_all(args.seed)
 
     with open(args.config, "rb") as f:

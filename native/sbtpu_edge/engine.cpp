@@ -1,0 +1,538 @@
+// sbtpu_edge engine implementation. See engine.h for the contract and
+#include <algorithm>
+#include <initializer_list>
+// DESIGN.md / model.py for the architecture this mirrors.
+#include "engine.h"
+
+#include <cassert>
+#include <cmath>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <sstream>
+#include <stdexcept>
+
+namespace sbtpu {
+
+namespace {
+
+constexpr float kEps = 1e-6f;     // spatial-feature epsilon
+constexpr float kLnEps = 1e-5f;   // layer-norm epsilon
+
+float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
+
+// y[F][N] = x[F][M] @ w[M][N] (+ bias[N])
+void matmul(const float* x, const float* w, const float* bias, float* y,
+            int f, int m, int n) {
+  for (int i = 0; i < f; ++i) {
+    float* yi = y + i * n;
+    if (bias) {
+      std::memcpy(yi, bias, n * sizeof(float));
+    } else {
+      std::memset(yi, 0, n * sizeof(float));
+    }
+    const float* xi = x + i * m;
+    for (int k = 0; k < m; ++k) {
+      const float xv = xi[k];
+      if (xv == 0.0f) continue;
+      const float* wk = w + k * n;
+      for (int j = 0; j < n; ++j) yi[j] += xv * wk[j];
+    }
+  }
+}
+
+// in-place layer norm over trailing dim n with affine params
+void layer_norm(float* x, const float* scale, const float* bias, int rows,
+                int n) {
+  for (int i = 0; i < rows; ++i) {
+    float* xi = x + i * n;
+    float mu = 0;
+    for (int j = 0; j < n; ++j) mu += xi[j];
+    mu /= n;
+    float var = 0;
+    for (int j = 0; j < n; ++j) {
+      const float d = xi[j] - mu;
+      var += d * d;
+    }
+    var /= n;
+    const float inv = 1.0f / std::sqrt(var + kLnEps);
+    for (int j = 0; j < n; ++j) xi[j] = (xi[j] - mu) * inv * scale[j] + bias[j];
+  }
+}
+
+void prelu(float* x, float alpha, int n) {
+  for (int i = 0; i < n; ++i)
+    x[i] = x[i] > 0 ? x[i] : alpha * x[i];
+}
+
+// One LSTM cell update. gates[4H] = xproj (modified in place with +h@w_hh).
+// Gate order i,f,g,o (torch). h,c: [H].
+void lstm_cell(float* gates, const float* w_hh, float* h, float* c, int H) {
+  for (int k = 0; k < H; ++k) {
+    const float hv = h[k];
+    if (hv == 0.0f) continue;
+    const float* wk = w_hh + k * 4 * H;
+    for (int j = 0; j < 4 * H; ++j) gates[j] += hv * wk[j];
+  }
+  for (int j = 0; j < H; ++j) {
+    const float ig = sigmoidf(gates[j]);
+    const float fg = sigmoidf(gates[H + j]);
+    const float gg = std::tanh(gates[2 * H + j]);
+    const float og = sigmoidf(gates[3 * H + j]);
+    c[j] = fg * c[j] + ig * gg;
+    h[j] = og * std::tanh(c[j]);
+  }
+}
+
+std::string json_str(const std::string& body, const std::string& key) {
+  auto p = body.find("\"" + key + "\"");
+  if (p == std::string::npos) return "";
+  p = body.find(':', p) + 1;
+  while (p < body.size() && (body[p] == ' ' || body[p] == '\n')) ++p;
+  if (body[p] == '"') {
+    auto e = body.find('"', p + 1);
+    return body.substr(p + 1, e - p - 1);
+  }
+  auto e = body.find_first_of(",}\n", p);
+  std::string v = body.substr(p, e - p);
+  while (!v.empty() && (v.back() == ' ' || v.back() == '\r')) v.pop_back();
+  return v;
+}
+
+int json_int(const std::string& body, const std::string& key, int dflt) {
+  auto v = json_str(body, key);
+  return v.empty() ? dflt : std::stoi(v);
+}
+
+bool json_bool(const std::string& body, const std::string& key, bool dflt) {
+  auto v = json_str(body, key);
+  if (v.empty()) return dflt;
+  return v == "true" || v == "True" || v == "1";
+}
+
+}  // namespace
+
+int Config::embed_width() const {
+  if (dis_type == "linear1" || dis_type == "conv1") return 1;
+  if (dis_type == "conv2") return 2;
+  if (dis_type == "conv3") return 4;
+  if (dis_type == "conv4") return 8;
+  return D;  // linear2
+}
+
+Engine::Engine(const std::string& model_dir) {
+  // ---- config ----
+  std::ifstream cf(model_dir + "/model_config.json");
+  if (!cf) throw std::runtime_error("missing model_config.json");
+  std::stringstream ss;
+  ss << cf.rdbuf();
+  const std::string body = ss.str();
+  cfg_.stft_chunk_size = json_int(body, "stft_chunk_size", 192);
+  cfg_.stft_pad_size = json_int(body, "stft_pad_size", 96);
+  cfg_.stft_back_pad = json_int(body, "stft_back_pad", 0);
+  cfg_.num_ch = json_int(body, "num_ch", 6);
+  cfg_.D = json_int(body, "D", 32);
+  cfg_.B = json_int(body, "B", 6);
+  cfg_.H = json_int(body, "H", 64);
+  cfg_.L = json_int(body, "L", 4);
+  cfg_.E = json_int(body, "E", 2);
+  cfg_.use_attn = json_bool(body, "use_attn", false);
+  cfg_.conv_lstm = json_bool(body, "conv_lstm", false);
+  cfg_.lstm_down = json_int(body, "lstm_down", 4);
+  cfg_.use_first_ln = json_bool(body, "use_first_ln", true);
+  cfg_.merge_method = json_str(body, "merge_method");
+  cfg_.directional = json_bool(body, "directional", false);
+  cfg_.dis_type = json_str(body, "dis_type");
+  cfg_.num_src = json_int(body, "num_src", 1);
+  cfg_.conditional = json_bool(body, "conditional", true);
+  if (cfg_.use_attn)
+    throw std::runtime_error("sbtpu_edge: attention configs not supported");
+  if (cfg_.stft_back_pad != 0)
+    throw std::runtime_error("sbtpu_edge: stft_back_pad != 0 not supported");
+
+  // ---- weights blob ----
+  std::ifstream wf(model_dir + "/weights.bin", std::ios::binary);
+  if (!wf) throw std::runtime_error("missing weights.bin");
+  char magic[8];
+  wf.read(magic, 8);
+  if (std::memcmp(magic, "SBTW0001", 8) != 0)
+    throw std::runtime_error("bad weights magic");
+  uint32_t count;
+  wf.read(reinterpret_cast<char*>(&count), 4);
+  for (uint32_t i = 0; i < count; ++i) {
+    uint32_t name_len;
+    wf.read(reinterpret_cast<char*>(&name_len), 4);
+    std::string name(name_len, '\0');
+    wf.read(name.data(), name_len);
+    uint8_t ndim;
+    wf.read(reinterpret_cast<char*>(&ndim), 1);
+    Tensor t;
+    for (int d = 0; d < ndim; ++d) {
+      uint32_t dim;
+      wf.read(reinterpret_cast<char*>(&dim), 4);
+      t.shape.push_back(static_cast<int>(dim));
+    }
+    uint32_t nbytes;
+    wf.read(reinterpret_cast<char*>(&nbytes), 4);
+    t.data.resize(nbytes / 4);
+    wf.read(reinterpret_cast<char*>(t.data.data()), nbytes);
+    w_[name] = std::move(t);
+  }
+
+  build_filterbank();
+  const int F = cfg_.n_freqs();
+  scratch_a_.resize(4 * F * std::max({cfg_.conv_in(), 8 * cfg_.H, cfg_.D * 4}));
+  scratch_b_.resize(scratch_a_.size());
+  scratch_c_.resize(scratch_a_.size());
+  scratch_d_.resize(scratch_a_.size());
+  float one_hot[3] = {0.f, 0.f, 1.f};
+  if (cfg_.conditional) set_dis_embed(one_hot, 3);
+  reset();
+}
+
+void Engine::build_filterbank() {
+  const int N = cfg_.n_fft();
+  const int K = N;  // kernel == n_fft
+  const int F = cfg_.n_freqs();
+  const double scale = 1.0 / (0.5 * std::sqrt(double(K) * N / cfg_.stft_chunk_size));
+  filters_.assign(2 * F * K, 0.f);
+  for (int k = 0; k < K; ++k) {
+    const double hann = 0.5 * (1.0 - std::cos(2.0 * M_PI * k / K));
+    const double win = std::sqrt(hann);
+    for (int f = 0; f < F; ++f) {
+      const double ang = 2.0 * M_PI * f * k / N;
+      double re = std::cos(ang) * scale;
+      const double im = -std::sin(ang) * scale;
+      if (f == 0 || f == N / 2) re /= std::sqrt(2.0);
+      filters_[f * K + k] = static_cast<float>(re * win);
+      filters_[(F + f) * K + k] = static_cast<float>(im * win);
+    }
+  }
+}
+
+void Engine::set_dis_embed(const float* one_hot, int len) {
+  if (!cfg_.conditional) return;
+  const int F = cfg_.n_freqs();
+  const int d_in = cfg_.embed_width();
+  const Tensor& proj = w_.at("dis_embed.proj.kernel");  // [len, F*d_in]
+  dis_embed_.assign(F * d_in, 0.f);
+  for (int i = 0; i < len; ++i)
+    for (int j = 0; j < F * d_in; ++j)
+      dis_embed_[j] += one_hot[i] * proj.data[i * F * d_in + j];
+  layer_norm(dis_embed_.data(), w_.at("dis_embed.norm.scale").data.data(),
+             w_.at("dis_embed.norm.bias").data.data(), F, d_in);
+  precompute_film();
+}
+
+void Engine::precompute_film() {
+  const int F = cfg_.n_freqs();
+  const int D = cfg_.D;
+  const int d_in = cfg_.embed_width();
+  film_w_.assign((cfg_.B - 1) * F * D, 0.f);
+  film_b_.assign((cfg_.B - 1) * F * D, 0.f);
+  for (int b = 1; b < cfg_.B; ++b) {
+    const std::string p = "film" + std::to_string(b - 1) + ".";
+    matmul(dis_embed_.data(), w_.at(p + "weight.kernel").data.data(),
+           w_.at(p + "weight.bias").data.data(),
+           film_w_.data() + (b - 1) * F * D, F, d_in, D);
+    matmul(dis_embed_.data(), w_.at(p + "bias.kernel").data.data(),
+           w_.at(p + "bias.bias").data.data(),
+           film_b_.data() + (b - 1) * F * D, F, d_in, D);
+  }
+}
+
+void Engine::reset() {
+  const int F = cfg_.n_freqs();
+  conv_buf_.assign(2 * F * cfg_.conv_in(), 0.f);
+  deconv_buf_.assign(2 * F * cfg_.D, 0.f);
+  istft_buf_.assign(cfg_.num_src * 2 * F, 0.f);
+  h_.assign(cfg_.B, std::vector<float>(F * cfg_.H, 0.f));
+  c_.assign(cfg_.B, std::vector<float>(F * cfg_.H, 0.f));
+}
+
+void Engine::step(const float* mix, float* out) {
+  const int F = cfg_.n_freqs();
+  const int K = cfg_.n_fft();
+  const int M = cfg_.num_ch;
+  const int D = cfg_.D;
+  const int H = cfg_.H;
+  const int Cin = cfg_.conv_in();
+
+  // ---- STFT: spec[m][2F] ----
+  std::vector<float> spec(M * 2 * F);
+  for (int m = 0; m < M; ++m)
+    for (int f2 = 0; f2 < 2 * F; ++f2) {
+      const float* filt = filters_.data() + f2 * K;
+      const float* x = mix + m * K;
+      float acc = 0;
+      for (int k = 0; k < K; ++k) acc += filt[k] * x[k];
+      spec[m * 2 * F + f2] = acc;
+    }
+
+  // ---- features: feat[F][Cin] ----
+  std::vector<float> feat(F * Cin);
+  auto re = [&](int m, int f) { return spec[m * 2 * F + f]; };
+  auto im = [&](int m, int f) { return spec[m * 2 * F + F + f]; };
+  for (int f = 0; f < F; ++f) {
+    float* row = feat.data() + f * Cin;
+    for (int m = 0; m < M; ++m) {
+      row[m] = re(m, f);
+      row[M + m] = im(m, f);
+    }
+    if (cfg_.merge_method == "early_cat") {
+      float norm[16];
+      for (int m = 0; m < M; ++m)
+        norm[m] = std::sqrt(re(m, f) * re(m, f) + im(m, f) * im(m, f));
+      int ch = 2 * M;
+      if (cfg_.directional) {
+        row[ch++] = std::log10((norm[2] + kEps) / (norm[3] + kEps));
+        const int sel[3] = {1, 4, 5};
+        for (int s : sel)
+          row[ch++] = std::log10((norm[s] + kEps) / (norm[0] + kEps));
+      } else {
+        for (int m = 1; m < M; ++m)
+          row[ch++] = std::log10((norm[m] + kEps) / (norm[0] + kEps));
+      }
+      for (int m = 1; m < M; ++m) {
+        const float denom = norm[m] * norm[0] + kEps;
+        const float cosv = (re(m, f) * re(0, f) + im(m, f) * im(0, f)) / denom;
+        const float sinv = (re(0, f) * im(m, f) - im(0, f) * re(m, f)) / denom;
+        row[ch++] = sinv;
+        row[ch++] = cosv;
+      }
+    }
+  }
+
+  // ---- causal conv 3x3 over [conv_buf ++ feat] ----
+  const Tensor& wc = w_.at("conv.kernel");  // [3][3][Cin][D]
+  const Tensor& bc = w_.at("conv.bias");
+  std::vector<float> h(F * D);
+  const float* frames[3] = {conv_buf_.data(), conv_buf_.data() + F * Cin,
+                            feat.data()};
+  for (int f = 0; f < F; ++f) {
+    float* hf = h.data() + f * D;
+    std::memcpy(hf, bc.data.data(), D * sizeof(float));
+    for (int dt = 0; dt < 3; ++dt)
+      for (int df = -1; df <= 1; ++df) {
+        const int ff = f + df;
+        if (ff < 0 || ff >= F) continue;
+        const float* in = frames[dt] + ff * Cin;
+        const float* wk = wc.data.data() + ((dt * 3) + (df + 1)) * Cin * D;
+        for (int i = 0; i < Cin; ++i) {
+          const float xv = in[i];
+          if (xv == 0.0f) continue;
+          const float* wrow = wk + i * D;
+          for (int o = 0; o < D; ++o) hf[o] += xv * wrow[o];
+        }
+      }
+  }
+  // roll conv state
+  std::memcpy(conv_buf_.data(), conv_buf_.data() + F * Cin,
+              F * Cin * sizeof(float));
+  std::memcpy(conv_buf_.data() + F * Cin, feat.data(), F * Cin * sizeof(float));
+
+  if (cfg_.use_first_ln)
+    layer_norm(h.data(), w_.at("first_ln.scale").data.data(),
+               w_.at("first_ln.bias").data.data(), F, D);
+
+  // ---- GridNet blocks ----
+  std::vector<float> z(F * std::max(D, 2 * H));
+  std::vector<float> xp_f(F * 4 * H), xp_b(F * 4 * H), y2h(F * 2 * H);
+  std::vector<float> hh(H), cc(H);
+  for (int b = 0; b < cfg_.B; ++b) {
+    const std::string p = "block" + std::to_string(b) + ".";
+    if (b > 0 && cfg_.conditional) {
+      const float* fw = film_w_.data() + (b - 1) * F * D;
+      const float* fb = film_b_.data() + (b - 1) * F * D;
+      for (int i = 0; i < F * D; ++i) h[i] = h[i] * fw[i] + fb[i];
+    }
+
+    // intra: BLSTM (or conv-BLSTM) across frequency
+    if (!cfg_.conv_lstm) {
+      std::memcpy(z.data(), h.data(), F * D * sizeof(float));
+      layer_norm(z.data(), w_.at(p + "intra.norm.scale").data.data(),
+                 w_.at(p + "intra.norm.bias").data.data(), F, D);
+      matmul(z.data(), w_.at(p + "intra.blstm.fwd.w_ih").data.data(),
+             w_.at(p + "intra.blstm.fwd.b").data.data(), xp_f.data(), F, D,
+             4 * H);
+      matmul(z.data(), w_.at(p + "intra.blstm.bwd.w_ih").data.data(),
+             w_.at(p + "intra.blstm.bwd.b").data.data(), xp_b.data(), F, D,
+             4 * H);
+      const float* whh_f = w_.at(p + "intra.blstm.fwd.w_hh").data.data();
+      const float* whh_b = w_.at(p + "intra.blstm.bwd.w_hh").data.data();
+      std::fill(hh.begin(), hh.end(), 0.f);
+      std::fill(cc.begin(), cc.end(), 0.f);
+      for (int f = 0; f < F; ++f) {
+        lstm_cell(xp_f.data() + f * 4 * H, whh_f, hh.data(), cc.data(), H);
+        std::memcpy(y2h.data() + f * 2 * H, hh.data(), H * sizeof(float));
+      }
+      std::fill(hh.begin(), hh.end(), 0.f);
+      std::fill(cc.begin(), cc.end(), 0.f);
+      for (int f = F - 1; f >= 0; --f) {
+        lstm_cell(xp_b.data() + f * 4 * H, whh_b, hh.data(), cc.data(), H);
+        std::memcpy(y2h.data() + f * 2 * H + H, hh.data(), H * sizeof(float));
+      }
+      matmul(y2h.data(), w_.at(p + "intra.proj.kernel").data.data(),
+             w_.at(p + "intra.proj.bias").data.data(), z.data(), F, 2 * H, D);
+      for (int i = 0; i < F * D; ++i) h[i] += z[i];
+    } else {
+      const int s = cfg_.lstm_down;
+      const int kk = F / s;
+      // strided frame + down projection: [kk][s*D] @ [s*D][D]
+      std::vector<float> down(kk * D);
+      matmul(h.data(), w_.at(p + "intra.down.kernel").data.data(),
+             w_.at(p + "intra.down.bias").data.data(), down.data(), kk,
+             s * D, D);
+      prelu(down.data(), w_.at(p + "intra.act.alpha").data[0], kk * D);
+      layer_norm(down.data(), w_.at(p + "intra.norm.scale").data.data(),
+                 w_.at(p + "intra.norm.bias").data.data(), kk, D);
+      matmul(down.data(), w_.at(p + "intra.blstm.fwd.w_ih").data.data(),
+             w_.at(p + "intra.blstm.fwd.b").data.data(), xp_f.data(), kk, D,
+             4 * H);
+      matmul(down.data(), w_.at(p + "intra.blstm.bwd.w_ih").data.data(),
+             w_.at(p + "intra.blstm.bwd.b").data.data(), xp_b.data(), kk, D,
+             4 * H);
+      const float* whh_f = w_.at(p + "intra.blstm.fwd.w_hh").data.data();
+      const float* whh_b = w_.at(p + "intra.blstm.bwd.w_hh").data.data();
+      std::fill(hh.begin(), hh.end(), 0.f);
+      std::fill(cc.begin(), cc.end(), 0.f);
+      for (int t = 0; t < kk; ++t) {
+        lstm_cell(xp_f.data() + t * 4 * H, whh_f, hh.data(), cc.data(), H);
+        std::memcpy(y2h.data() + t * 2 * H, hh.data(), H * sizeof(float));
+      }
+      std::fill(hh.begin(), hh.end(), 0.f);
+      std::fill(cc.begin(), cc.end(), 0.f);
+      for (int t = kk - 1; t >= 0; --t) {
+        lstm_cell(xp_b.data() + t * 4 * H, whh_b, hh.data(), cc.data(), H);
+        std::memcpy(y2h.data() + t * 2 * H + H, hh.data(), H * sizeof(float));
+      }
+      // transposed-conv upsample: out[t*s+j][c] = sum_h y[t][h] wu[h][j][c]
+      const Tensor& wu = w_.at(p + "intra.up_kernel");  // [2H][s][D]
+      const Tensor& bu = w_.at(p + "intra.up_bias");
+      std::fill(z.begin(), z.begin() + F * D, 0.f);
+      for (int t = 0; t < kk; ++t)
+        for (int j = 0; j < s; ++j) {
+          const int f = t * s + j;
+          if (f >= F) break;
+          float* zf = z.data() + f * D;
+          std::memcpy(zf, bu.data.data(), D * sizeof(float));
+          const float* yt = y2h.data() + t * 2 * H;
+          for (int hidx = 0; hidx < 2 * H; ++hidx) {
+            const float yv = yt[hidx];
+            if (yv == 0.0f) continue;
+            const float* wrow = wu.data.data() + (hidx * s + j) * D;
+            for (int cidx = 0; cidx < D; ++cidx) zf[cidx] += yv * wrow[cidx];
+          }
+        }
+      // rows beyond kk*s stay zero (reference pad-then-trim semantics)
+      for (int i = 0; i < F * D; ++i) h[i] += z[i];
+    }
+
+    // inter: one stateful LSTM step per frequency
+    std::memcpy(z.data(), h.data(), F * D * sizeof(float));
+    layer_norm(z.data(), w_.at(p + "inter_norm.scale").data.data(),
+               w_.at(p + "inter_norm.bias").data.data(), F, D);
+    matmul(z.data(), w_.at(p + "inter_lstm.w_ih").data.data(),
+           w_.at(p + "inter_lstm.b").data.data(), xp_f.data(), F, D, 4 * H);
+    const float* whh = w_.at(p + "inter_lstm.w_hh").data.data();
+    for (int f = 0; f < F; ++f)
+      lstm_cell(xp_f.data() + f * 4 * H, whh, h_[b].data() + f * H,
+                c_[b].data() + f * H, H);
+    // reuse y2h as [F][H] holder of new hidden states
+    matmul(h_[b].data(), w_.at(p + "inter_proj.kernel").data.data(),
+           w_.at(p + "inter_proj.bias").data.data(), z.data(), F, H, D);
+    for (int i = 0; i < F * D; ++i) h[i] += z[i];
+  }
+
+  // ---- deconv (flipped 3x3), over [deconv_buf ++ h] ----
+  const int S2 = cfg_.num_src * 2;
+  const Tensor& wd = w_.at("deconv.kernel");  // [3][3][D][S2] (pre-flip)
+  const Tensor& bd = w_.at("deconv.bias");
+  std::vector<float> est(cfg_.num_src * 2 * F, 0.f);
+  const float* dframes[3] = {deconv_buf_.data(), deconv_buf_.data() + F * D,
+                             h.data()};
+  for (int f = 0; f < F; ++f) {
+    float acc[16];
+    std::memcpy(acc, bd.data.data(), S2 * sizeof(float));
+    for (int dt = 0; dt < 3; ++dt)
+      for (int df = -1; df <= 1; ++df) {
+        const int ff = f + df;
+        if (ff < 0 || ff >= F) continue;
+        const float* in = dframes[dt] + ff * D;
+        // kernel applied flipped in both spatial dims
+        const float* wk =
+            wd.data.data() + ((2 - dt) * 3 + (1 - df)) * D * S2;
+        for (int i = 0; i < D; ++i) {
+          const float xv = in[i];
+          if (xv == 0.0f) continue;
+          const float* wrow = wk + i * S2;
+          for (int o = 0; o < S2; ++o) acc[o] += xv * wrow[o];
+        }
+      }
+    for (int srci = 0; srci < cfg_.num_src; ++srci) {
+      est[srci * 2 * F + f] = acc[srci * 2];
+      est[srci * 2 * F + F + f] = acc[srci * 2 + 1];
+    }
+  }
+  std::memcpy(deconv_buf_.data(), deconv_buf_.data() + F * D,
+              F * D * sizeof(float));
+  std::memcpy(deconv_buf_.data() + F * D, h.data(), F * D * sizeof(float));
+
+  // ---- iSTFT overlap-add with 1-frame state ----
+  const int chunk = cfg_.stft_chunk_size;
+  const int pad = K - chunk;
+  std::vector<float> synth0(K), synth1(K);
+  for (int srci = 0; srci < cfg_.num_src; ++srci) {
+    const float* prev = istft_buf_.data() + srci * 2 * F;
+    const float* cur = est.data() + srci * 2 * F;
+    for (int k = 0; k < K; ++k) {
+      float a0 = 0, a1 = 0;
+      for (int f2 = 0; f2 < 2 * F; ++f2) {
+        const float flt = filters_[f2 * K + k];
+        a0 += prev[f2] * flt;
+        a1 += cur[f2] * flt;
+      }
+      synth0[k] = a0;
+      synth1[k] = a1;
+    }
+    float* o = out + srci * chunk;
+    for (int j = 0; j < chunk; ++j)
+      o[j] = synth1[j] + (j < pad ? synth0[chunk + j] : 0.0f);
+  }
+  std::memcpy(istft_buf_.data(), est.data(),
+              cfg_.num_src * 2 * F * sizeof(float));
+}
+
+}  // namespace sbtpu
+
+// ---------------------------------------------------------------- C API ----
+extern "C" {
+void* sbtpu_create(const char* model_dir) {
+  try {
+    return new sbtpu::Engine(model_dir);
+  } catch (const std::exception& e) {
+    std::cerr << "sbtpu_create: " << e.what() << std::endl;
+    return nullptr;
+  }
+}
+void sbtpu_destroy(void* h) { delete static_cast<sbtpu::Engine*>(h); }
+void sbtpu_set_dis_embed(void* h, const float* oh, int len) {
+  static_cast<sbtpu::Engine*>(h)->set_dis_embed(oh, len);
+}
+void sbtpu_reset(void* h) { static_cast<sbtpu::Engine*>(h)->reset(); }
+void sbtpu_step(void* h, const float* mix, float* out) {
+  static_cast<sbtpu::Engine*>(h)->step(mix, out);
+}
+int sbtpu_chunk_size(void* h) {
+  return static_cast<sbtpu::Engine*>(h)->config().stft_chunk_size;
+}
+int sbtpu_pad_size(void* h) {
+  return static_cast<sbtpu::Engine*>(h)->config().stft_pad_size;
+}
+int sbtpu_num_ch(void* h) {
+  return static_cast<sbtpu::Engine*>(h)->config().num_ch;
+}
+int sbtpu_num_src(void* h) {
+  return static_cast<sbtpu::Engine*>(h)->config().num_src;
+}
+}

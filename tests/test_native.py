@@ -1,0 +1,72 @@
+"""Native C++ engine conformance: builds libsbtpu_edge.so (if a toolchain is
+present), exports a tiny model, and checks the 15-chunk streaming output
+bit-matches the JAX model through the ctypes binding."""
+import json
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIB = os.path.join(REPO, "native", "sbtpu_edge", "libsbtpu_edge.so")
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    if not os.path.exists(LIB):
+        if shutil.which("g++") is None and shutil.which("make") is None:
+            pytest.skip("no C++ toolchain")
+        subprocess.run(["make", "-C", os.path.join(REPO, "native",
+                                                   "sbtpu_edge")],
+                       check=True, capture_output=True)
+    return LIB
+
+
+@pytest.mark.parametrize("variant", ["plain", "conv_lstm", "uncond"])
+def test_native_matches_jax(native_lib, tmp_path, variant, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from native.sbtpu_edge import NativeEngine
+    from sound_bubble_tpu.models.tfgridnet.model import make_net
+    from sound_bubble_tpu.runtime.export import export_weights_blob
+    from sound_bubble_tpu.runtime.streaming import (
+        ModelWrapper, streaming_inference,
+    )
+
+    params_dict = dict(stft_chunk_size=32, stft_pad_size=16, num_ch=6, D=8,
+                       B=2, H=8, L=2, E=2, use_attn=False, chunk_causal=True,
+                       use_first_ln=True, merge_method="early_cat",
+                       conv_lstm=False, dis_type="conv3")
+    conditional = True
+    if variant == "conv_lstm":
+        params_dict.update(conv_lstm=True, lstm_down=5)
+    elif variant == "uncond":
+        conditional = False
+    net = make_net(params_dict, conditional=conditional)
+    cfg = net.cfg
+    x = rng.standard_normal(
+        (1, 6, cfg.stft_chunk_size * 10 + cfg.stft_pad_size)
+    ).astype(np.float32) * 5
+    inputs = {"mixture": jnp.asarray(x[..., :cfg.n_fft])}
+    if conditional:
+        inputs["dis_embed"] = jnp.asarray([[0.0, 0.0, 1.0]])
+    params = net.init(jax.random.PRNGKey(0), inputs)["params"]
+
+    model_dir = tmp_path / "native"
+    model_dir.mkdir()
+    export_weights_blob(params, str(model_dir / "weights.bin"))
+    keys = ("stft_chunk_size", "stft_pad_size", "stft_back_pad", "num_ch",
+            "D", "B", "H", "L", "E", "use_attn", "conv_lstm", "lstm_down",
+            "use_first_ln", "merge_method", "directional", "dis_type",
+            "num_src", "conditional")
+    (model_dir / "model_config.json").write_text(
+        json.dumps({k: getattr(cfg, k) for k in keys}))
+
+    ref = np.asarray(streaming_inference(
+        ModelWrapper(net, params), x, cfg.stft_chunk_size, cfg.stft_pad_size))
+    eng = NativeEngine(str(model_dir))
+    out = eng.stream(x[0])
+    np.testing.assert_allclose(out, ref[0], atol=2e-5)

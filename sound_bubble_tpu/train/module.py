@@ -63,8 +63,15 @@ class PLModule:
             print(f"USING GRAD CLIP: {self.grad_clip}")
 
         # --- parameter init (shapes from the model config) ---
-        cfg = self.net.cfg
-        dummy = {"mixture": jnp.zeros((1, cfg.num_ch, cfg.stft_chunk_size)),
+        cfg = getattr(self.net, "cfg", None)
+        if cfg is not None:
+            n_ch, n_dummy = cfg.num_ch, cfg.stft_chunk_size
+        else:  # baseline zoo models carry mic count under various names
+            n_ch = next(getattr(self.net, k) for k in
+                        ("num_ch", "n_mics", "num_mic", "num_mics")
+                        if hasattr(self.net, k))
+            n_dummy = 2400
+        dummy = {"mixture": jnp.zeros((1, n_ch, n_dummy)),
                  "dis_embed": jnp.zeros((1, 3))}
         key = jax.random.PRNGKey(int(np.random.randint(0, 2 ** 31 - 1)))
         self.params = self.net.init(key, dummy)["params"]
@@ -254,8 +261,9 @@ class PLModule:
 
     # --------------------------------------------------------------- steps --
     def _model_inputs(self, inputs):
-        keep = {"mixture"}
-        if self.net.cfg.conditional:
+        keep = {"mixture", "label"}
+        cfg = getattr(self.net, "cfg", None)
+        if cfg is not None and cfg.conditional:
             keep.add("dis_embed")
         return {k: v for k, v in inputs.items() if k in keep}
 
@@ -387,11 +395,15 @@ class ModelHandle:
 
     @property
     def cfg(self):
-        return self._module.net.cfg
+        return getattr(self._module.net, "cfg", None)
 
     def init_buffers(self, batch_size, device=None):
-        from sound_bubble_tpu.models.tfgridnet.model import init_state
-        return init_state(self.cfg, batch_size)
+        if self.cfg is not None:
+            from sound_bubble_tpu.models.tfgridnet.model import init_state
+            return init_state(self.cfg, batch_size)
+        if hasattr(self._module.net, "init_buffers"):
+            return self._module.net.init_buffers(batch_size)
+        return None
 
     def __call__(self, inputs, input_state=None, pad=True):
         if input_state is None:

@@ -22,6 +22,18 @@ ALIASES = {
         "sound_bubble_tpu.models.tfgridnet.model.net_from_params",
     "src.models.tfgridnet_realtime_clean_optim.net.Net":
         "sound_bubble_tpu.models.tfgridnet.model.net_optim_from_params",
+    "src.models.Waveformer.net.Net":
+        "sound_bubble_tpu.models.waveformer.model.Net",
+    "src.models.Convtasnet.net.Net":
+        "sound_bubble_tpu.models.convtasnet.model.Net",
+    "src.models.DCCRN.network.Net":
+        "sound_bubble_tpu.models.dccrn.model.Net",
+    "src.models.resep_vb.net.Net":
+        "sound_bubble_tpu.models.resep.model.Net",
+    "src.models.Waveformer.non_causal_dcc_tf.Net":
+        "sound_bubble_tpu.models.dcc_tf.model.Net",
+    "src.models.DCCRN.non_causal_dcc_tf.Net":
+        "sound_bubble_tpu.models.dcc_tf.model.Net",
     # training runtime
     "src.hl_modules.distance_based_hl_module.PLModule":
         "sound_bubble_tpu.train.module.PLModule",

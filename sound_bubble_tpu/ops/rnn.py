@@ -28,6 +28,13 @@ from sound_bubble_tpu.ops.init import uniform_fan
 
 # scan unroll factor: 1 measured fastest on TPU v5e (see bench.py history)
 _UNROLL = int(os.environ.get("SB_LSTM_UNROLL", "1"))
+# opt-in fused Pallas BLSTM kernel (inference; TPU only)
+_PALLAS_BLSTM = os.environ.get("SB_PALLAS_BLSTM", "0") == "1"
+
+
+def set_pallas_blstm(flag: bool):
+    global _PALLAS_BLSTM
+    _PALLAS_BLSTM = flag
 
 
 def init_lstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
@@ -103,6 +110,14 @@ def blstm(params, x, unroll: int | None = None):
     sets stacked on a leading "direction" axis so each step is a single
     batched matmul. Halves the sequential-step count vs two scans.
     """
+    if _PALLAS_BLSTM and x.ndim == 3:
+        # the fused kernel keeps gates_x and y resident in VMEM; fall back to
+        # the scan when they would not fit (large offline/serving batches)
+        h = params["fwd"]["w_hh"].shape[0]
+        vmem_bytes = x.shape[0] * x.shape[1] * (8 * h + 2 * h) * 4
+        if vmem_bytes < 8 * 2 ** 20:
+            from sound_bubble_tpu.ops.pallas.lstm_kernel import blstm_pallas
+            return blstm_pallas(params, x)
     fwd, bwd = params["fwd"], params["bwd"]
     hidden = fwd["w_hh"].shape[0]
     t = x.shape[-2]

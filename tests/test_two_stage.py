@@ -1,0 +1,114 @@
+"""Two-stage recipe (SNRLP pretrain -> init_ckpt warm start -> multi-res STFT
+finetune) and a learning-signal check: SI-SDRi must improve over training."""
+import json
+import types
+
+import numpy as np
+import pytest
+
+from tests.fixture_data import make_synthetic_dataset
+from tests.test_train import TINY_MODEL, _make_config
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("two_stage_data")
+    make_synthetic_dataset(root, "syn_1m", "train", n_samples=4,
+                           duration=0.25)
+    make_synthetic_dataset(root, "syn_1m", "val", n_samples=2, seed=1,
+                           duration=0.25)
+    return root
+
+
+def test_pretrain_then_finetune(data_root, tmp_path):
+    from src.train_pt import train
+    from sound_bubble_tpu.train.checkpoint import load_checkpoint
+
+    cfg_path = _make_config(tmp_path, data_root / "syn_1m" / "train",
+                            data_root / "syn_1m" / "val")
+    cfg = json.loads(cfg_path.read_text())
+    cfg["epochs"] = 1
+    cfg_path.write_text(json.dumps(cfg))
+    pre_dir = tmp_path / "pretrain"
+    train(types.SimpleNamespace(config=str(cfg_path), run_dir=str(pre_dir),
+                                seed=0, use_nondeterministic_cudnn=False,
+                                project_name="t"))
+    pre_state = load_checkpoint(pre_dir / "checkpoints" / "last.pt")
+
+    # finetune stage: multi-res STFT loss, warm start from pretrain last.pt
+    ft = json.loads(cfg_path.read_text())
+    ft["pl_module_args"]["init_ckpt"] = str(pre_dir / "checkpoints" / "last.pt")
+    ft["pl_module_args"]["loss"] = "src.losses.MultiResoLoss.MultiResoFuseLoss"
+    ft["pl_module_args"]["loss_params"] = {
+        "l1_ratio": 10, "sample_rate": 24000, "perceptual_weighting": True,
+        "w_sc": 0, "w_log_mag": 0, "w_lin_mag": 20,
+        "fft_sizes": [256, 512], "hop_sizes": [60, 120],
+        "win_lengths": [150, 300],
+    }
+    ft_cfg = tmp_path / "finetune.json"
+    ft_cfg.write_text(json.dumps(ft))
+    ft_dir = tmp_path / "finetune"
+    train(types.SimpleNamespace(config=str(ft_cfg), run_dir=str(ft_dir),
+                                seed=0, use_nondeterministic_cudnn=False,
+                                project_name="t"))
+    ft_state = load_checkpoint(ft_dir / "checkpoints" / "last.pt")
+    # warm start actually happened: finetune starts FROM pretrain weights and
+    # moves them (hard to check directly post-training; check epochs + keys)
+    assert ft_state["current_epoch"] == 1
+    assert set(ft_state["model"].keys()) == set(pre_state["model"].keys())
+    assert np.isfinite(ft_state["metric_values"][0]["train/loss"]["epoch"])
+
+
+def test_warm_start_loads_exact_weights(data_root, tmp_path):
+    import sound_bubble_tpu.utils as utils
+    from src.train_pt import train
+    from sound_bubble_tpu.train.checkpoint import load_checkpoint
+
+    cfg_path = _make_config(tmp_path, data_root / "syn_1m" / "train",
+                            data_root / "syn_1m" / "val")
+    cfg = json.loads(cfg_path.read_text())
+    cfg["epochs"] = 1
+    cfg_path.write_text(json.dumps(cfg))
+    run = tmp_path / "run"
+    train(types.SimpleNamespace(config=str(cfg_path), run_dir=str(run),
+                                seed=0, use_nondeterministic_cudnn=False,
+                                project_name="t"))
+    ckpt = str(run / "checkpoints" / "last.pt")
+    module = utils.import_attr(cfg["pl_module"])(
+        **{**cfg["pl_module_args"], "init_ckpt": ckpt})
+    import jax
+    saved = load_checkpoint(ckpt)["model"]
+    got = {jax.tree_util.keystr(k): v for k, v in
+           jax.tree_util.tree_leaves_with_path(module.params)}
+    want = {jax.tree_util.keystr(k): v for k, v in
+            jax.tree_util.tree_leaves_with_path(saved)}
+    assert set(got) == set(want)
+    for k in got:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+
+
+def test_training_improves_si_sdri(data_root, tmp_path):
+    """~25 epochs on the tiny fixture set must lift val SI-SDRi clearly above
+    its epoch-0 value (the end-to-end learning-signal check)."""
+    from src.train_pt import train
+
+    cfg_path = _make_config(tmp_path, data_root / "syn_1m" / "train",
+                            data_root / "syn_1m" / "val")
+    cfg = json.loads(cfg_path.read_text())
+    cfg["epochs"] = 25
+    cfg_path.write_text(json.dumps(cfg))
+    run = tmp_path / "learn"
+    train(types.SimpleNamespace(config=str(cfg_path), run_dir=str(run),
+                                seed=0, use_nondeterministic_cudnn=False,
+                                project_name="t"))
+    from sound_bubble_tpu.train.checkpoint import load_checkpoint
+    mv = load_checkpoint(run / "checkpoints" / "last.pt")["metric_values"]
+
+    def avg(ep, name):
+        e = mv[ep][name]
+        return e["epoch"] / e["num_elements"]
+
+    first, last = avg(0, "val/si_sdr_i"), avg(24, "val/si_sdr_i")
+    assert last > first + 3.0, f"no learning signal: {first:.2f} -> {last:.2f}"
+    assert avg(24, "train/loss") < avg(0, "train/loss") - 3.0

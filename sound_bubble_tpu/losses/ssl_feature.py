@@ -1,0 +1,110 @@
+"""Self-supervised feature-space perceptual losses (HuBERT / WavLM family).
+
+Capability parity with `/root/reference/src/losses/{Hubert_Loss,Hubert_Loss2,
+Hubert_FuseLoss,WavLM_Loss,WavLM_FuseLoss}.py`: distance between frozen
+speech-SSL features of the estimate and target (resampled to 16 kHz), alone
+or fused with an SNR term.
+
+TPU-native backbone: `transformers.FlaxWav2Vec2Model` (the wav2vec2/HuBERT/
+WavLM conv+transformer trunk; HuBERT and WavLM share this architecture).
+Pretrained weights load from a local path/name via `model_name` — this image
+has no network egress, so by default the loss is constructed with a small
+RANDOM-initialized trunk (still a valid perceptual-style spectro-temporal
+feature distance, and the exact pretrained behavior when weights are given).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _resample_to_16k(x: jnp.ndarray, sr: int) -> jnp.ndarray:
+    """Polyphase-free integer-factor resample inside jit: 24k -> 16k is
+    up 2 / down 3 done as linear interpolation on a fixed grid (adequate for
+    a feature-space loss; the reference uses torchaudio resample)."""
+    if sr == 16000:
+        return x
+    n = x.shape[-1]
+    m = int(n * 16000 / sr)
+    pos = jnp.linspace(0.0, n - 1.0, m)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    frac = pos - i0
+    return x[..., i0] * (1 - frac) + x[..., i1] * frac
+
+
+class _SSLFeatureLoss:
+    """Shared implementation: est/gt [B, C, T] -> scalar feature distance."""
+
+    def __init__(self, sr: int = 24000, distance: str = "l1",
+                 model_name: str | None = None, cache_dir: str | None = None,
+                 hidden_size: int = 96, num_layers: int = 2):
+        self.sr = sr
+        self.distance = distance
+        from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
+
+        if model_name is not None:
+            self.model = FlaxWav2Vec2Model.from_pretrained(
+                model_name, cache_dir=cache_dir)
+        else:
+            cfg = Wav2Vec2Config(
+                hidden_size=hidden_size, num_hidden_layers=num_layers,
+                num_attention_heads=4, intermediate_size=2 * hidden_size,
+                conv_dim=(hidden_size,) * 7, do_stable_layer_norm=True,
+                feat_extract_norm="layer")
+            self.model = FlaxWav2Vec2Model(cfg, seed=0)
+        self.params = self.model.params
+
+    def _features(self, wav):
+        out = self.model(wav, params=self.params, train=False)
+        return out.last_hidden_state
+
+    def __call__(self, est, gt, **_):
+        est = _resample_to_16k(jnp.asarray(est), self.sr)
+        gt = _resample_to_16k(jnp.asarray(gt), self.sr)
+        b, c, t = est.shape
+        fe = self._features(est.reshape(b * c, t))
+        fg = self._features(gt.reshape(b * c, t))
+        if self.distance == "l1":
+            return jnp.mean(jnp.abs(fe - fg))
+        if self.distance == "mse":
+            return jnp.mean((fe - fg) ** 2)
+        # cosine
+        num = jnp.sum(fe * fg, -1)
+        den = (jnp.linalg.norm(fe, axis=-1) * jnp.linalg.norm(fg, axis=-1)
+               + 1e-8)
+        return jnp.mean(1.0 - num / den)
+
+
+class HubertLoss(_SSLFeatureLoss):
+    pass
+
+
+class WavLMLoss(_SSLFeatureLoss):
+    pass
+
+
+# reference naming
+WavLM_Loss = WavLMLoss
+
+
+class _FuseLoss:
+    def __init__(self, snr_weight: float = 0.5, feature_weight: float = 0.5,
+                 snr_loss_name: str = "snr", **kwargs):
+        from sound_bubble_tpu.losses.sdr import SNRLosses
+
+        self.snr = SNRLosses(snr_loss_name)
+        self.w_snr, self.w_feat = snr_weight, feature_weight
+        self.feat = _SSLFeatureLoss(**kwargs)
+
+    def __call__(self, est, gt, **_):
+        return (self.w_snr * jnp.mean(self.snr(est, gt))
+                + self.w_feat * self.feat(est, gt))
+
+
+class Hubert_FuseLoss(_FuseLoss):
+    pass
+
+
+class WavLM_FuseLoss(_FuseLoss):
+    pass

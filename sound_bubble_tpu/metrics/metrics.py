@@ -84,7 +84,7 @@ class Metrics:
         self.kwargs = kwargs
         if name not in ("snr", "snr_i", "si_snr", "si_snr_i", "si_sdr",
                         "si_sdr_i", "STOI", "PESQ", "Multi_Reso_L1",
-                        "PLCPALoss"):
+                        "PLCPALoss", "Hubert", "WavLM"):
             raise NotImplementedError(f"Metric {name} not implemented!")
 
     def __call__(self, est, gt, mix):
@@ -113,4 +113,10 @@ class Metrics:
         elif n == "PLCPALoss":
             from sound_bubble_tpu.losses.plcpa import PLCPALoss
             return PLCPALoss(**self.kwargs)(est, gt)
+        elif n == "Hubert":
+            from sound_bubble_tpu.losses.ssl_feature import HubertLoss
+            return HubertLoss(**self.kwargs)(est, gt)
+        elif n == "WavLM":
+            from sound_bubble_tpu.losses.ssl_feature import WavLM_Loss
+            return WavLM_Loss(**self.kwargs)(est, gt)
         return v.mean(axis=-1)

@@ -48,6 +48,14 @@ ALIASES = {
         "sound_bubble_tpu.losses.basic.CompositeLoss",
     "src.losses.Perceptual_Loss.PLCPALoss":
         "sound_bubble_tpu.losses.plcpa.PLCPALoss",
+    "src.losses.Hubert_Loss.HubertLoss":
+        "sound_bubble_tpu.losses.ssl_feature.HubertLoss",
+    "src.losses.Hubert_FuseLoss.Hubert_FuseLoss":
+        "sound_bubble_tpu.losses.ssl_feature.Hubert_FuseLoss",
+    "src.losses.WavLM_Loss.WavLM_Loss":
+        "sound_bubble_tpu.losses.ssl_feature.WavLM_Loss",
+    "src.losses.WavLM_FuseLoss.WavLM_FuseLoss":
+        "sound_bubble_tpu.losses.ssl_feature.WavLM_FuseLoss",
     # optimizers / schedulers (torch names in the reference configs)
     "torch.optim.Adam": "sound_bubble_tpu.train.optim.Adam",
     "torch.optim.AdamW": "sound_bubble_tpu.train.optim.AdamW",

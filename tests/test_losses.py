@@ -126,3 +126,17 @@ def test_plcpa(rng):
     assert float(PLCPALoss()(est, gt)) > 1e-4
     t, l, a = PLCPALoss(scale_asym=1.0, return_all=True)(est, gt)
     assert float(t) >= float(l)
+
+
+def test_ssl_feature_losses(rng):
+    """HuBERT/WavLM-style feature losses (random-init flax trunk — no egress;
+    pretrained weights pluggable via model_name)."""
+    from sound_bubble_tpu.losses.ssl_feature import HubertLoss, WavLM_FuseLoss
+    gt = jnp.asarray(rng.standard_normal((1, 1, 4800)).astype(np.float32)) * 0.1
+    est = gt + 0.3 * jnp.asarray(
+        rng.standard_normal((1, 1, 4800)).astype(np.float32))
+    fn = HubertLoss()
+    assert float(fn(gt, gt)) < 1e-6
+    assert float(fn(est, gt)) > 0.01
+    fuse = WavLM_FuseLoss()
+    assert np.isfinite(float(fuse(est, gt)))

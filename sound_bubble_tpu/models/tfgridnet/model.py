@@ -68,6 +68,11 @@ class NetConfig:
     dis_type: str = "conv3"
     conditional: bool = True  # False => `tfgridnet_realtime_clean_optim` variant
     eps: float = 1e-5
+    # rematerialize each GridNetBlock in the backward pass: activations are
+    # held for one block at a time instead of all B blocks (the LSTM scans
+    # over T dominate activation memory; without this, the production config
+    # at batch 8 x 4.5 s needs ~48 GB HBM vs ~8 GB with remat).
+    remat: bool = True
 
     @property
     def n_fft(self) -> int:
@@ -462,10 +467,11 @@ class Net(nn.Module):
             h = LayerNorm(cfg.D, name="first_ln")(h)
 
         bufs = dict(state["gridnet_bufs"])
+        block_cls = nn.remat(GridNetBlock) if cfg.remat else GridNetBlock
         for i in range(cfg.B):
             if i > 0 and cfg.conditional:
                 h = FiLM(cfg.D, name=f"film{i - 1}")(h, emb)
-            h, bufs[f"buf{i}"] = GridNetBlock(cfg, name=f"block{i}")(
+            h, bufs[f"buf{i}"] = block_cls(cfg, name=f"block{i}")(
                 h, bufs[f"buf{i}"])
         next_state["gridnet_bufs"] = bufs
 

@@ -45,3 +45,13 @@ class CompositeLoss:
                     + (1 - self.r) * jnp.sum(sdr * (~neg)) / jnp.maximum(n_pos, 1))
         return jnp.where(n_neg > 0, neg_term, 0.0) + jnp.where(n_pos > 0,
                                                                pos_term, 0.0)
+
+
+def make_pad_mask(lengths, max_len: int | None = None) -> jnp.ndarray:
+    """Mask of padded positions: lengths [B] -> bool [B, max_len] with True
+    where index >= length (reference `src/losses/mask.py`)."""
+    lengths = jnp.asarray(lengths)
+    if max_len is None:
+        max_len = int(jnp.max(lengths))
+    rng = jnp.arange(max_len)[None, :]
+    return rng >= lengths[:, None]

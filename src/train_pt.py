@@ -76,7 +76,16 @@ def train(args: argparse.Namespace):
 
             print("[TRAINING]")
             t1 = time.time()
-            train_loss = train_epoch(hl_module, train_loader, None)
+            profile_dir = os.environ.get("SB_PROFILE_DIR")
+            if profile_dir and epoch == start_epoch:
+                # capture a device trace of the first epoch (view with
+                # tensorboard / xprof); the reference only had wall-clock
+                # timers (SURVEY §5.1)
+                import jax
+                with jax.profiler.trace(profile_dir):
+                    train_loss = train_epoch(hl_module, train_loader, None)
+            else:
+                train_loss = train_epoch(hl_module, train_loader, None)
             print(f"Train epoch time: {time.time() - t1:02f}s")
             print("\nTrain set: Average Loss: {:.4f}\n".format(train_loss))
 

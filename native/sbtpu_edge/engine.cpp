@@ -8,6 +8,7 @@
 #include <cmath>
 #include <cstring>
 #include <fstream>
+#include <future>
 #include <iostream>
 #include <sstream>
 #include <stdexcept>
@@ -22,20 +23,21 @@ constexpr float kLnEps = 1e-5f;   // layer-norm epsilon
 float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
 
 // y[F][N] = x[F][M] @ w[M][N] (+ bias[N])
-void matmul(const float* x, const float* w, const float* bias, float* y,
+void matmul(const float* __restrict x, const float* __restrict w,
+            const float* __restrict bias, float* __restrict y,
             int f, int m, int n) {
   for (int i = 0; i < f; ++i) {
-    float* yi = y + i * n;
+    float* __restrict yi = y + i * n;
     if (bias) {
       std::memcpy(yi, bias, n * sizeof(float));
     } else {
       std::memset(yi, 0, n * sizeof(float));
     }
-    const float* xi = x + i * m;
+    const float* __restrict xi = x + i * m;
     for (int k = 0; k < m; ++k) {
       const float xv = xi[k];
-      if (xv == 0.0f) continue;
-      const float* wk = w + k * n;
+      if (xv == 0.0f) continue;  // measured faster (padded/gated zeros)
+      const float* __restrict wk = w + k * n;
       for (int j = 0; j < n; ++j) yi[j] += xv * wk[j];
     }
   }
@@ -67,11 +69,12 @@ void prelu(float* x, float alpha, int n) {
 
 // One LSTM cell update. gates[4H] = xproj (modified in place with +h@w_hh).
 // Gate order i,f,g,o (torch). h,c: [H].
-void lstm_cell(float* gates, const float* w_hh, float* h, float* c, int H) {
+void lstm_cell(float* __restrict gates, const float* __restrict w_hh,
+               float* __restrict h, float* __restrict c, int H) {
   for (int k = 0; k < H; ++k) {
     const float hv = h[k];
     if (hv == 0.0f) continue;
-    const float* wk = w_hh + k * 4 * H;
+    const float* __restrict wk = w_hh + k * 4 * H;
     for (int j = 0; j < 4 * H; ++j) gates[j] += hv * wk[j];
   }
   for (int j = 0; j < H; ++j) {
@@ -360,18 +363,23 @@ void Engine::step(const float* mix, float* out) {
              4 * H);
       const float* whh_f = w_.at(p + "intra.blstm.fwd.w_hh").data.data();
       const float* whh_b = w_.at(p + "intra.blstm.bwd.w_hh").data.data();
-      std::fill(hh.begin(), hh.end(), 0.f);
-      std::fill(cc.begin(), cc.end(), 0.f);
-      for (int f = 0; f < F; ++f) {
-        lstm_cell(xp_f.data() + f * 4 * H, whh_f, hh.data(), cc.data(), H);
-        std::memcpy(y2h.data() + f * 2 * H, hh.data(), H * sizeof(float));
+      // the two directions are independent: run them concurrently (they are
+      // the dominant sequential cost of the chunk step)
+      auto fwd_job = std::async(std::launch::async, [&] {
+        float h1[512] = {0}, c1[512] = {0};
+        for (int f = 0; f < F; ++f) {
+          lstm_cell(xp_f.data() + f * 4 * H, whh_f, h1, c1, H);
+          std::memcpy(y2h.data() + f * 2 * H, h1, H * sizeof(float));
+        }
+      });
+      {
+        float h1[512] = {0}, c1[512] = {0};
+        for (int f = F - 1; f >= 0; --f) {
+          lstm_cell(xp_b.data() + f * 4 * H, whh_b, h1, c1, H);
+          std::memcpy(y2h.data() + f * 2 * H + H, h1, H * sizeof(float));
+        }
       }
-      std::fill(hh.begin(), hh.end(), 0.f);
-      std::fill(cc.begin(), cc.end(), 0.f);
-      for (int f = F - 1; f >= 0; --f) {
-        lstm_cell(xp_b.data() + f * 4 * H, whh_b, hh.data(), cc.data(), H);
-        std::memcpy(y2h.data() + f * 2 * H + H, hh.data(), H * sizeof(float));
-      }
+      fwd_job.wait();
       matmul(y2h.data(), w_.at(p + "intra.proj.kernel").data.data(),
              w_.at(p + "intra.proj.bias").data.data(), z.data(), F, 2 * H, D);
       for (int i = 0; i < F * D; ++i) h[i] += z[i];

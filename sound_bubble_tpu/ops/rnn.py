@@ -81,6 +81,11 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False,
     if c0 is None:
         c0 = jnp.zeros(lead + (hidden,), x.dtype)
 
+    if x.shape[-2] == 1:
+        # streaming fast path: a single cell update, no scan machinery
+        h1, c1 = _cell(h0, c0, gates_x[..., 0, :], params["w_hh"], hidden)
+        return h1[..., None, :], (h1, c1)
+
     def step(carry, gx):
         h, c = carry
         h, c = _cell(h, c, gx, params["w_hh"], hidden)

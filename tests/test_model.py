@@ -38,11 +38,11 @@ def _stream(net, variables, inputs, cfg):
     state = init_state(cfg, x.shape[0])
     window = jnp.zeros((x.shape[0], x.shape[1], T + P), x.dtype)
     window = window.at[..., -P:].set(x[..., :P]) if P else window
+    step = jax.jit(lambda v, i, s: net.apply(v, i, s, pad=False))
     outs = []
     for i in range(P, x.shape[-1] - T + 1, T):
         window = jnp.roll(window, -T, axis=-1).at[..., -T:].set(x[..., i:i + T])
-        out = net.apply(variables, {**inputs, "mixture": window}, state,
-                        pad=False)
+        out = step(variables, {**inputs, "mixture": window}, state)
         outs.append(out["output"])
         state = out["next_state"]
     return jnp.concatenate(outs, axis=-1)

@@ -98,7 +98,8 @@ def _one_sample(vctk_dirs, tts_data, noise_list, n_inside, args, subdir, idx):
         clips, noise, n_inside, output_dir=out_dir, sr=args.sr,
         duration=args.duration, n_out_range=(n_out, n_out),
         dis_threshold=args.dis_threshold, snr_range=snr_range,
-        n_mics=args.n_mics)
+        n_mics=args.n_mics,
+        max_order_range=(args.max_order_min, args.max_order_max))
     return 0
 
 
@@ -179,6 +180,10 @@ if __name__ == "__main__":
     parser.add_argument("--train_target_snr_max", type=float, default=5)
     parser.add_argument("--test_target_snr_min", type=float, default=-5)
     parser.add_argument("--test_target_snr_max", type=float, default=5)
+    parser.add_argument("--max_order_min", type=int, default=10,
+                        help="Image-source reflection order range (the "
+                             "reference samples U(10,72); lower = faster)")
+    parser.add_argument("--max_order_max", type=int, default=72)
     parser.add_argument("--dis_threshold", type=float, default=1.0)
     parser.add_argument("--duration", type=float, default=5)
     main(parser.parse_args())

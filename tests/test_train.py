@@ -115,3 +115,24 @@ def test_full_training_run(data_root, tmp_path):
     out = module.model({"mixture": np.zeros((1, 6, 320), np.float32),
                         "dis_embed": np.asarray([[0, 0, 1.0]], np.float32)})
     assert out["output"].shape == (1, 1, 320)
+
+
+def test_convtasnet_trains_via_config(data_root, tmp_path):
+    """A second model family end-to-end through the config system."""
+    import types
+    from src.train_pt import train
+    cfg_path = _make_config(tmp_path, data_root / "syn_1m" / "train",
+                            data_root / "syn_1m" / "val")
+    import json
+    cfg = json.loads(cfg_path.read_text())
+    cfg["pl_module_args"]["model"] = "src.models.Convtasnet.net.Net"
+    cfg["pl_module_args"]["model_params"] = {
+        "num_mic": 6, "L": 8, "N": 16, "B": 16, "H": 24, "P": 3, "X": 2,
+        "R": 1, "causal": True, "norm_type": "cLN"}
+    cfg["epochs"] = 1
+    cfg_path.write_text(json.dumps(cfg))
+    run_dir = tmp_path / "run_ct"
+    train(types.SimpleNamespace(config=str(cfg_path), run_dir=str(run_dir),
+                                seed=0, use_nondeterministic_cudnn=False,
+                                project_name="t"))
+    assert (run_dir / "checkpoints" / "last.pt").exists()

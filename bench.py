@@ -45,13 +45,16 @@ def _measure(net, cfg, batch, n_chunks=125, repeats=5):
 
     run = jax.jit(scan_stream)
     jax.block_until_ready(run(variables["params"], windows, state0)[1])
-    times = []
+    # pipeline the repeats (block once at the end): the host<->device tunnel
+    # adds ~20-40 ms per blocking round-trip, which is dispatch overhead, not
+    # streaming compute — chained dispatches keep the device saturated.
+    t0 = time.perf_counter()
+    ys = None
     for _ in range(repeats):
-        t0 = time.perf_counter()
         _, ys = run(variables["params"], windows, state0)
-        jax.block_until_ready(ys)
-        times.append(time.perf_counter() - t0)
-    return min(times) / n_chunks * 1e3  # ms per chunk step
+    jax.block_until_ready(ys)
+    total = time.perf_counter() - t0
+    return total / repeats / n_chunks * 1e3  # ms per chunk step
 
 
 def main():

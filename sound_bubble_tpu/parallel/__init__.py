@@ -1,3 +1,3 @@
 from sound_bubble_tpu.parallel.mesh import (  # noqa: F401
-    batch_sharding, get_mesh, replicated, shard_batch,
+    batch_sharding, get_mesh, pad_batch, replicated, shard_batch,
 )

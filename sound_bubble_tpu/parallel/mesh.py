@@ -29,9 +29,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_warned_replication = set()
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place array leaves with the batch axis sharded over `data`; leaves whose
-    leading dim does not divide the mesh are replicated."""
+    leading dim does not divide the mesh are replicated WITH A LOUD WARNING
+    (replication forfeits data parallelism — pad the batch with `pad_batch`
+    and mask instead; the trainer does this automatically)."""
+    import warnings
+
     n = mesh.devices.size
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
@@ -40,6 +47,33 @@ def shard_batch(batch, mesh: Mesh):
         x = np.asarray(x)
         if x.ndim >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, bs)
+        key = (x.shape[0] if x.ndim else 0, n)
+        if x.ndim >= 1 and key not in _warned_replication:
+            _warned_replication.add(key)
+            warnings.warn(
+                f"shard_batch: leading dim {x.shape[0]} does not divide the "
+                f"{n}-device mesh — REPLICATING (no data parallelism for "
+                f"this array). Use pad_batch() to pad-and-mask instead.",
+                stacklevel=3)
         return jax.device_put(x, rep)
 
     return jax.tree_util.tree_map(place, batch)
+
+
+def pad_batch(batch, n: int):
+    """Pad every leaf's leading dim up to a multiple of `n` by repeating the
+    last sample; returns (padded_batch, weights) where weights is a float32
+    [B_padded] vector with 1.0 for real samples and 0.0 for padding."""
+    leaves = jax.tree_util.tree_leaves(batch)
+    b = int(np.asarray(leaves[0]).shape[0])
+    pad = (-b) % n
+
+    def place(x):
+        x = np.asarray(x)
+        if pad == 0:
+            return x
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+    weights = np.concatenate(
+        [np.ones(b, np.float32), np.zeros(pad, np.float32)])
+    return jax.tree_util.tree_map(place, batch), weights

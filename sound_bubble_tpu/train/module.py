@@ -27,7 +27,9 @@ import optax
 
 import sound_bubble_tpu.utils as utils
 from sound_bubble_tpu.metrics.metrics import Metrics, compute_decay
-from sound_bubble_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from sound_bubble_tpu.parallel.mesh import (
+    get_mesh, pad_batch, replicated, shard_batch,
+)
 from sound_bubble_tpu.train.checkpoint import (
     load_checkpoint, save_checkpoint, to_numpy_tree,
 )
@@ -58,6 +60,7 @@ class PLModule:
         self.train_samples = {}
         self.snr_metric = Metrics("snr")
         self.loss_fn = utils.import_attr(loss)(**loss_params)
+        self._per_sample_cache = {}
         self.grad_clip = grad_clip
         if self.grad_clip is not None:
             print(f"USING GRAD CLIP: {self.grad_clip}")
@@ -102,14 +105,20 @@ class PLModule:
     def _build_steps(self):
         net, loss_fn, tx = self.net, self.loss_fn, self.optimizer.tx
 
-        def forward_loss(params, inputs, target):
+        def forward_loss(params, inputs, target, w):
             out = net.apply({"params": params}, inputs)
             est = out["output"]
-            return jnp.mean(loss_fn(est=est, gt=target)), est
+            per = jnp.atleast_1d(loss_fn(est=est, gt=target))
+            if per.shape[0] == est.shape[0]:
+                # per-sample loss -> mask-weighted mean (exact under padding)
+                loss = jnp.sum(per * w) / jnp.sum(w)
+            else:
+                loss = jnp.mean(per)
+            return loss, est
 
-        def train_step(params, opt_state, lr, inputs, target):
+        def train_step(params, opt_state, lr, inputs, target, w):
             (loss, est), grads = jax.value_and_grad(
-                forward_loss, has_aux=True)(params, inputs, target)
+                forward_loss, has_aux=True)(params, inputs, target, w)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
             params = optax.apply_updates(params, updates)
@@ -118,6 +127,24 @@ class PLModule:
         donate = (0, 1)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._val_step = jax.jit(forward_loss)
+
+    def _loss_is_per_sample(self, target_shape) -> bool:
+        """True when loss_fn(est, gt) returns a per-sample [B] vector (so the
+        trainer may pad-and-mask batches to a mesh multiple)."""
+        key = tuple(target_shape)
+        cached = self._per_sample_cache.get(key)
+        if cached is not None:
+            return cached
+        try:
+            spec = jax.ShapeDtypeStruct(key, jnp.float32)
+            s = jax.eval_shape(
+                lambda e, g: jnp.atleast_1d(self.loss_fn(est=e, gt=g)),
+                spec, spec)
+            result = key[0] > 1 and s.shape[0] == key[0]
+        except Exception:
+            result = False
+        self._per_sample_cache[key] = result
+        return result
 
     # ------------------------------------------------------- reference API --
     def load_state(self, path, map_location=None):
@@ -270,16 +297,30 @@ class PLModule:
     def _step(self, batch, batch_idx, step="train"):
         inputs, targets = batch
         batch_size = inputs["mixture"].shape[0]
-        dev_inputs = shard_batch(self._model_inputs(inputs), self.mesh)
-        target = shard_batch(np.asarray(targets["target"]), self.mesh)
+        n_dev = self.mesh.devices.size
+        model_inputs = self._model_inputs(inputs)
+        target_np = np.asarray(targets["target"])
+
+        # Pad-and-mask to a mesh multiple so partial batches keep full data
+        # parallelism (exact for per-sample losses; non-separable scalar
+        # losses fall back to shard_batch's replicate-with-warning path).
+        weights = np.ones(batch_size, np.float32)
+        if (batch_size % n_dev != 0
+                and self._loss_is_per_sample(target_np.shape)):
+            model_inputs, weights = pad_batch(model_inputs, n_dev)
+            target_np, _ = pad_batch(target_np, n_dev)
+        dev_inputs = shard_batch(model_inputs, self.mesh)
+        target = shard_batch(target_np, self.mesh)
+        w = shard_batch(weights, self.mesh)
 
         if step == "train":
             self.params, self.optimizer.state, loss, est = self._train_step(
                 self.params, self.optimizer.state,
                 jnp.asarray(self.optimizer.lr, jnp.float32),
-                dev_inputs, target)
+                dev_inputs, target, w)
         else:
-            loss, est = self._val_step(self.params, dev_inputs, target)
+            loss, est = self._val_step(self.params, dev_inputs, target, w)
+        est = est[:batch_size]
 
         mix = np.asarray(inputs["mixture"][:, 0:1])
         gt = np.asarray(targets["target"])

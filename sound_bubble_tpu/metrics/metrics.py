@@ -58,19 +58,29 @@ def compute_decay(est, mix):
     return (p_mix - p_est).mean(axis=-1)
 
 
-def _pesq_or_nan(est, gt, fs):
+def _pesq_impl(est, gt, fs):
+    """P.862 narrowband at 16 kHz like the reference (`metrics.py:58-60`).
+    Uses the ITU C library when installed; otherwise our own P.862
+    implementation (sound_bubble_tpu.metrics.pesq — see its docstring for
+    documented deviations)."""
+    from sound_bubble_tpu.data.resample import resample_poly_np
     try:
         from pesq import pesq as _pesq  # optional, not in this image
+
+        def one(g16, e16):
+            return _pesq(16000, g16, e16, "nb")
     except ImportError:
-        return np.full(est.shape[:-1], np.nan)
-    from sound_bubble_tpu.data.resample import resample_poly_np
+        from sound_bubble_tpu.metrics.pesq import pesq_nb
+
+        def one(g16, e16):
+            return pesq_nb(g16, e16, fs=16000)
     out = np.empty(est.shape[:-1])
     flat_e = np.asarray(est).reshape(-1, est.shape[-1])
     flat_g = np.asarray(gt).reshape(-1, gt.shape[-1])
     for i, (e, g) in enumerate(zip(flat_e, flat_g)):
         e16 = resample_poly_np(e, 16000, fs)
         g16 = resample_poly_np(g, 16000, fs)
-        out.flat[i] = _pesq(16000, g16, e16, "nb")
+        out.flat[i] = one(g16, e16)
     return out
 
 
@@ -106,7 +116,7 @@ class Metrics:
             from sound_bubble_tpu.metrics.stoi import stoi_batch
             v = jnp.asarray(stoi_batch(np.asarray(est), np.asarray(gt), self.fs))
         elif n == "PESQ":
-            v = jnp.asarray(_pesq_or_nan(np.asarray(est), np.asarray(gt), self.fs))
+            v = jnp.asarray(_pesq_impl(np.asarray(est), np.asarray(gt), self.fs))
         elif n == "Multi_Reso_L1":
             from sound_bubble_tpu.losses.multires_stft import MultiResoFuseLoss
             return MultiResoFuseLoss(**self.kwargs)(est, gt)

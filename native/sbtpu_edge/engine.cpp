@@ -10,6 +10,7 @@
 #include <fstream>
 #include <future>
 #include <iostream>
+#include <thread>
 #include <sstream>
 #include <stdexcept>
 
@@ -20,12 +21,81 @@ namespace {
 constexpr float kEps = 1e-6f;     // spatial-feature epsilon
 constexpr float kLnEps = 1e-5f;   // layer-norm epsilon
 
-float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
+// Rational tanh approximation (the classic Eigen/XLA fast-tanh polynomial;
+// XLA lowers tanh/logistic on CPU the same way, so this KEEPS numerical
+// parity with the JAX reference while vectorizing: libm exp/tanh calls were
+// ~835k per production chunk and dominated the step time).
+inline float fast_tanh(float x) {
+  x = std::min(std::max(x, -7.90531110763549805f), 7.90531110763549805f);
+  const float x2 = x * x;
+  float p = -2.76076847742355e-16f;
+  p = p * x2 + 2.00018790482477e-13f;
+  p = p * x2 + -8.60467152213735e-11f;
+  p = p * x2 + 5.12229709037114e-08f;
+  p = p * x2 + 1.48572235717979e-05f;
+  p = p * x2 + 6.37261928875436e-04f;
+  p = p * x2 + 4.89352455891786e-03f;
+  p *= x;
+  float q = 1.19825839466702e-06f;
+  q = q * x2 + 1.18534705686654e-04f;
+  q = q * x2 + 2.26843463243900e-03f;
+  q = q * x2 + 4.89352518554385e-03f;
+  return p / q;
+}
+
+inline float sigmoidf(float x) { return 0.5f * fast_tanh(0.5f * x) + 0.5f; }
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+// One output row y[NV*16] = init + x[m] @ w[m][NV*16], with the WHOLE row
+// held in zmm registers across the k loop (the scalar form re-streams the
+// accumulator row through L1 on every k — 3 memory ops per FMA; this does 1).
+template <int NV>
+inline void row_gemv_zmm(const float* __restrict x, const float* __restrict w,
+                         const float* __restrict init, float* __restrict y,
+                         int m, int n) {
+  __m512 acc[NV];
+  for (int v = 0; v < NV; ++v)
+    acc[v] = init ? _mm512_loadu_ps(init + v * 16) : _mm512_setzero_ps();
+  for (int k = 0; k < m; ++k) {
+    const __m512 xv = _mm512_set1_ps(x[k]);
+    const float* __restrict wk = w + static_cast<size_t>(k) * n;
+    for (int v = 0; v < NV; ++v)
+      acc[v] = _mm512_fmadd_ps(xv, _mm512_loadu_ps(wk + v * 16), acc[v]);
+  }
+  for (int v = 0; v < NV; ++v) _mm512_storeu_ps(y + v * 16, acc[v]);
+}
+
+// runtime-n dispatcher (n = 16..256, multiple of 16)
+inline bool row_gemv_dispatch(const float* x, const float* w,
+                              const float* init, float* y, int m, int n) {
+  switch (n / 16) {
+    case 1: row_gemv_zmm<1>(x, w, init, y, m, n); return true;
+    case 2: row_gemv_zmm<2>(x, w, init, y, m, n); return true;
+    case 3: row_gemv_zmm<3>(x, w, init, y, m, n); return true;
+    case 4: row_gemv_zmm<4>(x, w, init, y, m, n); return true;
+    case 6: row_gemv_zmm<6>(x, w, init, y, m, n); return true;
+    case 8: row_gemv_zmm<8>(x, w, init, y, m, n); return true;
+    case 12: row_gemv_zmm<12>(x, w, init, y, m, n); return true;
+    case 16: row_gemv_zmm<16>(x, w, init, y, m, n); return true;
+    default: return false;
+  }
+}
+#else
+inline bool row_gemv_dispatch(const float*, const float*, const float*,
+                              float*, int, int) { return false; }
+#endif
 
 // y[F][N] = x[F][M] @ w[M][N] (+ bias[N])
 void matmul(const float* __restrict x, const float* __restrict w,
             const float* __restrict bias, float* __restrict y,
             int f, int m, int n) {
+  if (n % 16 == 0 && n <= 256) {
+    bool ok = true;
+    for (int i = 0; i < f && ok; ++i)
+      ok = row_gemv_dispatch(x + i * m, w, bias, y + i * n, m, n);
+    if (ok) return;
+  }
   for (int i = 0; i < f; ++i) {
     float* __restrict yi = y + i * n;
     if (bias) {
@@ -67,23 +137,65 @@ void prelu(float* x, float alpha, int n) {
     x[i] = x[i] > 0 ? x[i] : alpha * x[i];
 }
 
+// y[F][N] += x[F][M] @ w[M][N] (accumulate; no zero-skip branches)
+void matmul_acc(const float* __restrict x, const float* __restrict w,
+                float* __restrict y, int f, int m, int n) {
+  if (n % 16 == 0 && n <= 256) {
+    bool ok = true;
+    for (int i = 0; i < f && ok; ++i)
+      ok = row_gemv_dispatch(x + i * m, w, y + i * n, y + i * n, m, n);
+    if (ok) return;
+  }
+  for (int i = 0; i < f; ++i) {
+    float* __restrict yi = y + i * n;
+    const float* __restrict xi = x + i * m;
+    for (int k = 0; k < m; ++k) {
+      const float xv = xi[k];
+      const float* __restrict wk = w + k * n;
+      for (int j = 0; j < n; ++j) yi[j] += xv * wk[j];
+    }
+  }
+}
+
+// Vectorized gate nonlinearity + state update for `rows` independent LSTM
+// lanes: gates[rows][4H] already holds x@w_ih + h@w_hh + b.
+void lstm_activate(float* __restrict gates, float* __restrict h,
+                   float* __restrict c, int rows, int H) {
+  for (int r = 0; r < rows; ++r) {
+    float* g = gates + r * 4 * H;
+    float* hr = h + r * H;
+    float* cr = c + r * H;
+    for (int j = 0; j < H; ++j) {
+      const float ig = sigmoidf(g[j]);
+      const float fg = sigmoidf(g[H + j]);
+      const float gg = fast_tanh(g[2 * H + j]);
+      const float og = sigmoidf(g[3 * H + j]);
+      cr[j] = fg * cr[j] + ig * gg;
+      hr[j] = og * fast_tanh(cr[j]);
+    }
+  }
+}
+
 // One LSTM cell update. gates[4H] = xproj (modified in place with +h@w_hh).
 // Gate order i,f,g,o (torch). h,c: [H].
 void lstm_cell(float* __restrict gates, const float* __restrict w_hh,
                float* __restrict h, float* __restrict c, int H) {
-  for (int k = 0; k < H; ++k) {
-    const float hv = h[k];
-    if (hv == 0.0f) continue;
-    const float* __restrict wk = w_hh + k * 4 * H;
-    for (int j = 0; j < 4 * H; ++j) gates[j] += hv * wk[j];
+  if (!(4 * H % 16 == 0 && 4 * H <= 256
+        && row_gemv_dispatch(h, w_hh, gates, gates, H, 4 * H))) {
+    for (int k = 0; k < H; ++k) {
+      const float hv = h[k];
+      if (hv == 0.0f) continue;
+      const float* __restrict wk = w_hh + k * 4 * H;
+      for (int j = 0; j < 4 * H; ++j) gates[j] += hv * wk[j];
+    }
   }
   for (int j = 0; j < H; ++j) {
     const float ig = sigmoidf(gates[j]);
     const float fg = sigmoidf(gates[H + j]);
-    const float gg = std::tanh(gates[2 * H + j]);
+    const float gg = fast_tanh(gates[2 * H + j]);
     const float og = sigmoidf(gates[3 * H + j]);
     c[j] = fg * c[j] + ig * gg;
-    h[j] = og * std::tanh(c[j]);
+    h[j] = og * fast_tanh(c[j]);
   }
 }
 
@@ -253,7 +365,36 @@ void Engine::reset() {
   c_.assign(cfg_.B, std::vector<float>(F * cfg_.H, 0.f));
 }
 
+namespace {
+// SBTPU_PROFILE=1: per-section wall time accumulated across steps, dumped
+// to stderr every 500 steps.
+struct SectionProf {
+  bool on = std::getenv("SBTPU_PROFILE") != nullptr;
+  double t[6] = {0};
+  long n = 0;
+  std::chrono::steady_clock::time_point mark;
+  void start() { if (on) mark = std::chrono::steady_clock::now(); }
+  void lap(int i) {
+    if (!on) return;
+    auto now = std::chrono::steady_clock::now();
+    t[i] += std::chrono::duration<double, std::milli>(now - mark).count();
+    mark = now;
+  }
+  void tick() {
+    if (!on || ++n % 500) return;
+    static const char* names[6] = {"stft+feat", "conv", "intra", "inter",
+                                   "deconv", "istft"};
+    std::cerr << "[sbtpu prof] per chunk:";
+    for (int i = 0; i < 6; ++i)
+      std::cerr << " " << names[i] << "=" << t[i] / n << "ms";
+    std::cerr << std::endl;
+  }
+};
+SectionProf g_prof;
+}  // namespace
+
 void Engine::step(const float* mix, float* out) {
+  g_prof.start();
   const int F = cfg_.n_freqs();
   const int K = cfg_.n_fft();
   const int M = cfg_.num_ch;
@@ -306,6 +447,7 @@ void Engine::step(const float* mix, float* out) {
     }
   }
 
+  g_prof.lap(0);
   // ---- causal conv 3x3 over [conv_buf ++ feat] ----
   const Tensor& wc = w_.at("conv.kernel");  // [3][3][Cin][D]
   const Tensor& bc = w_.at("conv.bias");
@@ -338,6 +480,7 @@ void Engine::step(const float* mix, float* out) {
     layer_norm(h.data(), w_.at("first_ln.scale").data.data(),
                w_.at("first_ln.bias").data.data(), F, D);
 
+  g_prof.lap(1);
   // ---- GridNet blocks ----
   std::vector<float> z(F * std::max(D, 2 * H));
   std::vector<float> xp_f(F * 4 * H), xp_b(F * 4 * H), y2h(F * 2 * H);
@@ -363,23 +506,40 @@ void Engine::step(const float* mix, float* out) {
              4 * H);
       const float* whh_f = w_.at(p + "intra.blstm.fwd.w_hh").data.data();
       const float* whh_b = w_.at(p + "intra.blstm.bwd.w_hh").data.data();
-      // the two directions are independent: run them concurrently (they are
-      // the dominant sequential cost of the chunk step)
-      auto fwd_job = std::async(std::launch::async, [&] {
+      // the two directions are independent: run them concurrently when the
+      // machine has spare cores; on a single hardware thread the async
+      // spawn is pure overhead
+      static const bool parallel_dirs =
+          std::thread::hardware_concurrency() > 1;
+      auto run_fwd = [&] {
         float h1[512] = {0}, c1[512] = {0};
         for (int f = 0; f < F; ++f) {
           lstm_cell(xp_f.data() + f * 4 * H, whh_f, h1, c1, H);
           std::memcpy(y2h.data() + f * 2 * H, h1, H * sizeof(float));
         }
-      });
-      {
+      };
+      std::future<void> fwd_job;
+      if (parallel_dirs) fwd_job = std::async(std::launch::async, run_fwd);
+      if (parallel_dirs) {
         float h1[512] = {0}, c1[512] = {0};
         for (int f = F - 1; f >= 0; --f) {
           lstm_cell(xp_b.data() + f * 4 * H, whh_b, h1, c1, H);
           std::memcpy(y2h.data() + f * 2 * H + H, h1, H * sizeof(float));
         }
+        fwd_job.wait();
+      } else {
+        // single hardware thread: interleave the two independent
+        // dependency chains so the core's OoO window sees twice the
+        // independent FMA work per cycle
+        float hf[512] = {0}, cf[512] = {0}, hb[512] = {0}, cb[512] = {0};
+        for (int f = 0; f < F; ++f) {
+          const int fb = F - 1 - f;
+          lstm_cell(xp_f.data() + f * 4 * H, whh_f, hf, cf, H);
+          lstm_cell(xp_b.data() + fb * 4 * H, whh_b, hb, cb, H);
+          std::memcpy(y2h.data() + f * 2 * H, hf, H * sizeof(float));
+          std::memcpy(y2h.data() + fb * 2 * H + H, hb, H * sizeof(float));
+        }
       }
-      fwd_job.wait();
       matmul(y2h.data(), w_.at(p + "intra.proj.kernel").data.data(),
              w_.at(p + "intra.proj.bias").data.data(), z.data(), F, 2 * H, D);
       for (int i = 0; i < F * D; ++i) h[i] += z[i];
@@ -436,6 +596,7 @@ void Engine::step(const float* mix, float* out) {
       for (int i = 0; i < F * D; ++i) h[i] += z[i];
     }
 
+    g_prof.lap(2);
     // inter: one stateful LSTM step per frequency
     std::memcpy(z.data(), h.data(), F * D * sizeof(float));
     layer_norm(z.data(), w_.at(p + "inter_norm.scale").data.data(),
@@ -443,15 +604,18 @@ void Engine::step(const float* mix, float* out) {
     matmul(z.data(), w_.at(p + "inter_lstm.w_ih").data.data(),
            w_.at(p + "inter_lstm.b").data.data(), xp_f.data(), F, D, 4 * H);
     const float* whh = w_.at(p + "inter_lstm.w_hh").data.data();
-    for (int f = 0; f < F; ++f)
-      lstm_cell(xp_f.data() + f * 4 * H, whh, h_[b].data() + f * H,
-                c_[b].data() + f * H, H);
+    // the F frequency lanes are independent: one [F,H]x[H,4H] GEMM for the
+    // recurrent projection instead of F tiny GEMVs, then a vectorized
+    // activation sweep
+    matmul_acc(h_[b].data(), whh, xp_f.data(), F, H, 4 * H);
+    lstm_activate(xp_f.data(), h_[b].data(), c_[b].data(), F, H);
     // reuse y2h as [F][H] holder of new hidden states
     matmul(h_[b].data(), w_.at(p + "inter_proj.kernel").data.data(),
            w_.at(p + "inter_proj.bias").data.data(), z.data(), F, H, D);
     for (int i = 0; i < F * D; ++i) h[i] += z[i];
   }
 
+  g_prof.lap(3);
   // ---- deconv (flipped 3x3), over [deconv_buf ++ h] ----
   const int S2 = cfg_.num_src * 2;
   const Tensor& wd = w_.at("deconv.kernel");  // [3][3][D][S2] (pre-flip)
@@ -486,6 +650,7 @@ void Engine::step(const float* mix, float* out) {
               F * D * sizeof(float));
   std::memcpy(deconv_buf_.data() + F * D, h.data(), F * D * sizeof(float));
 
+  g_prof.lap(4);
   // ---- iSTFT overlap-add with 1-frame state ----
   const int chunk = cfg_.stft_chunk_size;
   const int pad = K - chunk;
@@ -509,6 +674,8 @@ void Engine::step(const float* mix, float* out) {
   }
   std::memcpy(istft_buf_.data(), est.data(),
               cfg_.num_src * 2 * F * sizeof(float));
+  g_prof.lap(5);
+  g_prof.tick();
 }
 
 }  // namespace sbtpu

@@ -194,7 +194,7 @@ def rirs_host_fast(images, n_refl, img_mask, mics, rho, *, fs: int,
 def build_pool(n_scenarios: int, *, seed: int = 0, sr: int = 24000,
                rir_len: int = 12000, order_range=(10, 32),
                radii=RADII, method: str = "host", dtype=jnp.float32,
-               verbose: bool = True):
+               to_device: bool = True, verbose: bool = True):
     """Build the campaign pool: host geometry, RIRs via `method`
     ('host' = rirs_host_fast bincount+FFT, 'device' = rirs_on_device).
 
@@ -226,15 +226,21 @@ def build_pool(n_scenarios: int, *, seed: int = 0, sr: int = 24000,
         radius.append(float(sc["radius"]))
         if verbose and (i + 1) % 100 == 0:
             print(f"pool: {i + 1}/{n_scenarios} scenarios", flush=True)
+    # bf16 storage halves HBM and host->device transfer (0.4% tap error,
+    # inaudible; the SNR scaling stays exact because it is computed from the
+    # rendered signals); cast on HOST so the upload is already half-width.
+    stack = np.stack(rirs)
+    if dtype != jnp.float32:
+        import ml_dtypes
+        stack = stack.astype(ml_dtypes.bfloat16)
     pool = {
-        # bf16 storage halves HBM (0.4% tap error, inaudible; the SNR
-        # scaling stays exact because it is computed from the rendered
-        # signals); make_batch casts back to f32 after the gather.
-        "rirs": jnp.asarray(np.stack(rirs)).astype(dtype),
-        "active": jnp.asarray(np.stack(active)),
-        "near_mask": jnp.asarray(np.stack(near)),
-        "dis_embed": jnp.asarray(np.stack(dis)),
+        "rirs": stack,
+        "active": np.stack(active),
+        "near_mask": np.stack(near),
+        "dis_embed": np.stack(dis),
     }
+    if to_device:
+        pool = {k: jnp.asarray(v) for k, v in pool.items()}
     return pool, np.asarray(radius)
 
 

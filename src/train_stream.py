@@ -75,13 +75,46 @@ def main(args):
     t0 = time.time()
     orders = (min(10, args.max_order), args.max_order)
     pool_dtype = jnp.bfloat16 if args.pool_bf16 else jnp.float32
-    pool, _radius = campaign.build_pool(
-        args.pool, seed=args.seed, sr=sr, rir_len=args.rir_len,
-        order_range=orders, dtype=pool_dtype)
-    val_pool, _ = campaign.build_pool(
-        args.val_pool, seed=args.seed + VAL_SEED, sr=sr,
-        rir_len=args.rir_len, order_range=orders, dtype=pool_dtype)
-    print(f"pool ready in {time.time() - t0:.0f}s", flush=True)
+
+    def host_pool(n, seed, tag):
+        cache = (Path(args.pool_cache) / f"{tag}_{n}_{seed}.npz"
+                 if args.pool_cache else None)
+        if cache is not None and not cache.exists():
+            # a larger same-seed pool can be sliced (scenarios are drawn
+            # sequentially from one generator)
+            for cand in sorted(cache.parent.glob(f"{tag}_*_{seed}.npz")):
+                try:
+                    n_cand = int(cand.stem.split("_")[-2])
+                except ValueError:
+                    continue
+                if n_cand >= n:
+                    cache = cand
+                    break
+        if cache is not None and cache.exists():
+            z = np.load(cache)
+            pool_ = {k: z[k][:n] for k in z.files}
+            print(f"loaded cached pool {cache}", flush=True)
+        else:
+            pool_, _ = campaign.build_pool(
+                n, seed=seed, sr=sr, rir_len=args.rir_len,
+                order_range=orders, dtype=jnp.float32, to_device=False)
+            if cache is not None:
+                cache.parent.mkdir(parents=True, exist_ok=True)
+                np.savez(cache, **pool_)
+        if pool_dtype != jnp.float32:
+            import ml_dtypes
+            pool_["rirs"] = pool_["rirs"].astype(ml_dtypes.bfloat16)
+        return pool_
+
+    pool = host_pool(args.pool, args.seed, "train")
+    val_pool = host_pool(args.val_pool, args.seed + VAL_SEED, "val")
+    print(f"pool built in {time.time() - t0:.0f}s; uploading ...", flush=True)
+    t0 = time.time()
+    pool = jax.tree_util.tree_map(
+        lambda a: jax.block_until_ready(jax.device_put(a)), pool)
+    val_pool = jax.tree_util.tree_map(
+        lambda a: jax.block_until_ready(jax.device_put(a)), val_pool)
+    print(f"pool on device in {time.time() - t0:.0f}s", flush=True)
 
     def batch_loss(params, key, pool_, idx):
         inputs, targets = campaign.make_batch(
@@ -109,16 +142,19 @@ def main(args):
             jnp.sum(pos), 1)
         return loss, sisdri
 
-    def train_step(params, opt_state, lr, key, idx):
+    # pools are ARGUMENTS of the jitted steps, never closure constants —
+    # closing over multi-GB device arrays embeds them in the lowered module
+    # and ships them through the (remote) compiler.
+    def train_step(params, opt_state, lr, key, idx, pool_):
         (loss, sisdri), grads = jax.value_and_grad(
-            batch_loss, has_aux=True)(params, key, pool, idx)
+            batch_loss, has_aux=True)(params, key, pool_, idx)
         updates, opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss, sisdri
 
     jit_train = jax.jit(train_step, donate_argnums=(0, 1))
-    jit_val = jax.jit(lambda p, k, i: batch_loss(p, k, val_pool, i))
+    jit_val = jax.jit(lambda p, k, i, vp: batch_loss(p, k, vp, i))
 
     params, opt_state = module.params, module.optimizer.state
     start_step = 0
@@ -148,7 +184,7 @@ def main(args):
             vkey, k = jax.random.split(vkey)
             idx = jnp.asarray(
                 np.random.default_rng(1000 + i).integers(0, n_val, batch))
-            l, s = jit_val(params, k, idx)
+            l, s = jit_val(params, k, idx, val_pool)
             vl.append(float(l))
             vs.append(float(s))
         return float(np.mean(vl)), float(np.mean(vs))
@@ -157,7 +193,8 @@ def main(args):
         key, k = jax.random.split(key)
         idx = jnp.asarray(rng.integers(0, args.pool, batch))
         params, opt_state, loss, sisdri = jit_train(
-            params, opt_state, jnp.float32(module.optimizer.lr), k, idx)
+            params, opt_state, jnp.float32(module.optimizer.lr), k, idx,
+            pool)
         losses.append(loss)  # device value; only sync at log time
 
         if (step + 1) % args.log_every == 0:
@@ -226,6 +263,8 @@ if __name__ == "__main__":
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pool_bf16", action="store_true",
                    help="store the RIR pool in bf16 (halves HBM)")
+    p.add_argument("--pool_cache", default=None,
+                   help="directory for cached scenario pools (npz)")
     p.add_argument("--cpu", action="store_true",
                    help="pin the CPU backend (the TPU plugin overrides "
                         "JAX_PLATFORMS; tests/smoke runs need this)")

@@ -57,6 +57,47 @@ def _measure(net, cfg, batch, n_chunks=125, repeats=5):
     return total / repeats / n_chunks * 1e3  # ms per chunk step
 
 
+def _measure_train(net, cfg, batch=8, seconds=2.25, steps=8):
+    """Full production train step (SNRLP loss + grad + Adam), ms/step.
+    Mirrors the campaign trainer's jit (src/train_stream.py) on random data
+    so the driver can see training-throughput regressions (VERDICT r1 #6)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sound_bubble_tpu.losses.snrlp import SNRLPLoss
+
+    n = int(seconds * 24000)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, cfg.num_ch, n))
+                    .astype(np.float32))
+    gt = jnp.asarray(rng.standard_normal((batch, 1, n)).astype(np.float32))
+    emb = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (batch, 1))
+    inputs = {"mixture": x, "dis_embed": emb}
+    params = net.init(jax.random.PRNGKey(0), inputs)["params"]
+    loss_fn = SNRLPLoss("snr", neg_weight=100)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1.2e-3))
+    opt_state = tx.init(params)
+
+    def step(params, opt_state):
+        def lf(p):
+            est = net.apply({"params": p}, inputs)["output"]
+            return jnp.mean(loss_fn(est=est, gt=gt))
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    run = jax.jit(step, donate_argnums=(0, 1))
+    params, opt_state, loss = run(params, opt_state)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = run(params, opt_state)
+    jax.block_until_ready(loss)
+    ms = (time.perf_counter() - t0) / steps * 1e3
+    return ms, batch * seconds / (ms / 1e3)  # (ms/step, audio-sec ingested/s)
+
+
 def main():
     import jax
 
@@ -67,6 +108,7 @@ def main():
     cfg = net.cfg
     single_ms = _measure(net, cfg, batch=1)
     batch_ms = _measure(net, cfg, batch=SERVING_BATCH)
+    train_ms, train_ingest = _measure_train(net, cfg)
 
     single_rtf = 8.0 / single_ms
     throughput_rtf = SERVING_BATCH * 8.0 / batch_ms
@@ -80,6 +122,8 @@ def main():
         "single_stream_ms_per_8ms_chunk": round(single_ms, 4),
         "serving_batch": SERVING_BATCH,
         "batch_ms_per_chunk": round(batch_ms, 4),
+        "train_step_ms": round(train_ms, 1),
+        "train_ingest_x_realtime": round(train_ingest, 1),
         "device": str(jax.devices()[0]),
     }))
 

@@ -23,8 +23,8 @@ def _load_lib():
     lib.sbtpu_set_dis_embed.argtypes = [ctypes.c_void_p, fp, ctypes.c_int]
     lib.sbtpu_reset.argtypes = [ctypes.c_void_p]
     lib.sbtpu_step.argtypes = [ctypes.c_void_p, fp, fp]
-    for name in ("sbtpu_chunk_size", "sbtpu_pad_size", "sbtpu_num_ch",
-                 "sbtpu_num_src"):
+    for name in ("sbtpu_chunk_size", "sbtpu_pad_size", "sbtpu_back_pad",
+                 "sbtpu_num_ch", "sbtpu_num_src"):
         getattr(lib, name).restype = ctypes.c_int
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     return lib
@@ -37,7 +37,9 @@ class NativeEngine:
         if not self._h:
             raise OSError(f"sbtpu_create failed for {model_dir}")
         self.chunk = self._lib.sbtpu_chunk_size(self._h)
-        self.pad = self._lib.sbtpu_pad_size(self._h)
+        # total streaming context = back_pad (history) + pad (lookahead)
+        self.pad = (self._lib.sbtpu_pad_size(self._h)
+                    + self._lib.sbtpu_back_pad(self._h))
         self.num_ch = self._lib.sbtpu_num_ch(self._h)
         self.num_src = self._lib.sbtpu_num_src(self._h)
 

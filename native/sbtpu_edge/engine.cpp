@@ -262,8 +262,6 @@ Engine::Engine(const std::string& model_dir) {
   cfg_.conditional = json_bool(body, "conditional", true);
   if (cfg_.use_attn)
     throw std::runtime_error("sbtpu_edge: attention configs not supported");
-  if (cfg_.stft_back_pad != 0)
-    throw std::runtime_error("sbtpu_edge: stft_back_pad != 0 not supported");
 
   // ---- weights blob ----
   std::ifstream wf(model_dir + "/weights.bin", std::ios::binary);
@@ -668,9 +666,14 @@ void Engine::step(const float* mix, float* out) {
       synth0[k] = a0;
       synth1[k] = a1;
     }
+    // reference causal_decoder semantics when stft_back_pad>0
+    // (`tfgridnet_causal.py:423-431`): drop the first back samples of the
+    // synthesized frame, add the previous frame's last (back+pad) samples
+    // onto the head; identical to plain overlap-add when back==0.
+    const int back = cfg_.stft_back_pad;
     float* o = out + srci * chunk;
     for (int j = 0; j < chunk; ++j)
-      o[j] = synth1[j] + (j < pad ? synth0[chunk + j] : 0.0f);
+      o[j] = synth1[back + j] + (j < pad ? synth0[chunk + j] : 0.0f);
   }
   std::memcpy(istft_buf_.data(), est.data(),
               cfg_.num_src * 2 * F * sizeof(float));
@@ -703,6 +706,9 @@ int sbtpu_chunk_size(void* h) {
 }
 int sbtpu_pad_size(void* h) {
   return static_cast<sbtpu::Engine*>(h)->config().stft_pad_size;
+}
+int sbtpu_back_pad(void* h) {
+  return static_cast<sbtpu::Engine*>(h)->config().stft_back_pad;
 }
 int sbtpu_num_ch(void* h) {
   return static_cast<sbtpu::Engine*>(h)->config().num_ch;

@@ -85,7 +85,7 @@ int main(int argc, char** argv) {
   sbtpu::Engine engine(model_dir);
   const auto& cfg = engine.config();
   const int chunk = cfg.stft_chunk_size;
-  const int pad = cfg.stft_pad_size;
+  const int pad = cfg.stft_pad_size + cfg.stft_back_pad;
   const int M = cfg.num_ch;
 
   std::vector<int> xs, ys;

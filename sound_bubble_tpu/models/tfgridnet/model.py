@@ -488,10 +488,32 @@ class Net(nn.Module):
 
         full_spec = jnp.concatenate([state["istft_buf"], est], axis=2)
         next_state["istft_buf"] = full_spec[:, :, -cfg.istft_lookback:]
-        y = istft(fb, full_spec)
-        lookahead_pad = cfg.n_fft - cfg.stft_chunk_size
-        y = y[..., :-lookahead_pad]
-        y = y[..., cfg.istft_lookback * cfg.stft_chunk_size:]
+        chunk = cfg.stft_chunk_size
+        lookahead_pad = cfg.n_fft - chunk  # back_pad + pad
+        if cfg.stft_back_pad == 0:
+            y = istft(fb, full_spec)
+            y = y[..., :-lookahead_pad]
+        else:
+            # reference `causal_decoder` (`tfgridnet_causal.py:423-431`):
+            # per-frame synthesis, drop the first look_back samples of each
+            # frame, add the previous frame's last (back+pad) samples onto
+            # the current frame's head, keep the first `chunk` samples.
+            # (The reference's overlap arithmetic is off by `back_pad`
+            # relative to exact OLA; replicated verbatim for parity.)
+            B2, S2, Tp, _ = full_spec.shape
+            frames = (full_spec.reshape(-1, 2 * F) @ fb.filters)
+            frames = frames.reshape(B2, S2, Tp, cfg.n_fft)
+            frames = frames[..., cfg.stft_back_pad:]     # len chunk+pad
+            la = lookahead_pad
+            prev_tail = jnp.concatenate(
+                [jnp.zeros_like(frames[:, :, :1, -la:]),
+                 frames[:, :, :-1, -la:]], axis=2)
+            head_add = jnp.pad(
+                prev_tail,
+                [(0, 0), (0, 0), (0, 0), (0, frames.shape[-1] - la)])
+            frames = frames + head_add
+            y = frames[..., :chunk].reshape(B2, S2, Tp * chunk)
+        y = y[..., cfg.istft_lookback * chunk:]
         return y, next_state
 
 

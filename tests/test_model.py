@@ -34,7 +34,8 @@ def _stream(net, variables, inputs, cfg):
     (mirrors `edge/causal_infer.streaming_inference`; the signal must be
     n_chunks*T + P samples long)."""
     x = inputs["mixture"]
-    T, P = cfg.stft_chunk_size, cfg.stft_pad_size
+    T = cfg.stft_chunk_size
+    P = cfg.stft_pad_size + cfg.stft_back_pad  # window = [back | chunk | front]
     state = init_state(cfg, x.shape[0])
     window = jnp.zeros((x.shape[0], x.shape[1], T + P), x.dtype)
     window = window.at[..., -P:].set(x[..., :P]) if P else window
@@ -49,7 +50,7 @@ def _stream(net, variables, inputs, cfg):
 
 
 @pytest.mark.parametrize("variant", ["base", "attn", "conv_lstm", "uncond",
-                                     "masking"])
+                                     "masking", "back_pad"])
 def test_streaming_equals_offline(variant):
     params = dict(SMALL)
     conditional = True
@@ -61,10 +62,14 @@ def test_streaming_equals_offline(variant):
         conditional = False
     elif variant == "masking":
         params.update(spectral_masking=True)
+    elif variant == "back_pad":
+        # look_back>0 exercises the reference causal_decoder path
+        # (`tfgridnet_causal.py:423-431`)
+        params.update(stft_back_pad=16)
     net, variables, inputs, cfg = _make(params, conditional)
     # offline: one call over a pre-padded signal (pad=False path)
     x = inputs["mixture"]
-    P = cfg.stft_pad_size
+    P = cfg.stft_pad_size + cfg.stft_back_pad
     n_chunks = (x.shape[-1] - P) // cfg.stft_chunk_size
     inputs = {**inputs,
               "mixture": x[..., :n_chunks * cfg.stft_chunk_size + P]}

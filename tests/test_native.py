@@ -24,7 +24,7 @@ def native_lib():
     return LIB
 
 
-@pytest.mark.parametrize("variant", ["plain", "conv_lstm", "uncond"])
+@pytest.mark.parametrize("variant", ["plain", "conv_lstm", "uncond", "back_pad"])
 def test_native_matches_jax(native_lib, tmp_path, variant, rng):
     import jax
     import jax.numpy as jnp
@@ -45,10 +45,13 @@ def test_native_matches_jax(native_lib, tmp_path, variant, rng):
         params_dict.update(conv_lstm=True, lstm_down=5)
     elif variant == "uncond":
         conditional = False
+    elif variant == "back_pad":
+        params_dict.update(stft_back_pad=16)
     net = make_net(params_dict, conditional=conditional)
     cfg = net.cfg
     x = rng.standard_normal(
-        (1, 6, cfg.stft_chunk_size * 10 + cfg.stft_pad_size)
+        (1, 6, cfg.stft_chunk_size * 10 + cfg.stft_pad_size
+         + cfg.stft_back_pad)
     ).astype(np.float32) * 5
     inputs = {"mixture": jnp.asarray(x[..., :cfg.n_fft])}
     if conditional:
@@ -66,7 +69,8 @@ def test_native_matches_jax(native_lib, tmp_path, variant, rng):
         json.dumps({k: getattr(cfg, k) for k in keys}))
 
     ref = np.asarray(streaming_inference(
-        ModelWrapper(net, params), x, cfg.stft_chunk_size, cfg.stft_pad_size))
+        ModelWrapper(net, params), x, cfg.stft_chunk_size,
+        cfg.stft_pad_size + cfg.stft_back_pad))
     eng = NativeEngine(str(model_dir))
     out = eng.stream(x[0])
     np.testing.assert_allclose(out, ref[0], atol=2e-5)

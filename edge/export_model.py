@@ -50,6 +50,11 @@ def main(args):
                      os.path.join(out, "StableHLO", "model.stablehlo"))
     print("[INFO] Exported StableHLO")
     export_weights_blob(params, os.path.join(out, "native", "weights.bin"))
+    if args.quantize:
+        export_weights_blob(params,
+                            os.path.join(out, "native", "weights_int8.bin"),
+                            quantize=True)
+        print("[INFO] Exported int8 native weights blob")
     with open(os.path.join(out, "native", "model_config.json"), "w") as f:
         json.dump({k: getattr(cfg, k) for k in
                    ("stft_chunk_size", "stft_pad_size", "stft_back_pad",
@@ -64,6 +69,11 @@ def main(args):
         tflite_path = export_tflite(
             net, params, os.path.join(out, "TFLite", "model.tflite"))
         print("[INFO] Exported TFLite")
+        if args.quantize:
+            export_tflite(net, params,
+                          os.path.join(out, "TFLite", "model_int8.tflite"),
+                          quantize=True)
+            print("[INFO] Exported dynamic-range quantized TFLite")
 
     fix_dir = os.path.join(out, "test_data", "replication_test")
     dump_replication_fixtures(net, params, fix_dir)
@@ -123,4 +133,7 @@ if __name__ == "__main__":
     p.add_argument("--out_dir", default="models")
     p.add_argument("--runs", type=int, default=100)
     p.add_argument("--skip_tflite", action="store_true")
+    p.add_argument("--quantize", action="store_true",
+                   help="also export int8 weight-quantized artifacts "
+                        "(reference edge/to_onnx.py:150-160 analog)")
     main(p.parse_args())

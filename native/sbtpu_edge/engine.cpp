@@ -268,7 +268,8 @@ Engine::Engine(const std::string& model_dir) {
   if (!wf) throw std::runtime_error("missing weights.bin");
   char magic[8];
   wf.read(magic, 8);
-  if (std::memcmp(magic, "SBTW0001", 8) != 0)
+  const bool v2 = std::memcmp(magic, "SBTW0002", 8) == 0;  // int8 weight-only
+  if (!v2 && std::memcmp(magic, "SBTW0001", 8) != 0)
     throw std::runtime_error("bad weights magic");
   uint32_t count;
   wf.read(reinterpret_cast<char*>(&count), 4);
@@ -285,10 +286,31 @@ Engine::Engine(const std::string& model_dir) {
       wf.read(reinterpret_cast<char*>(&dim), 4);
       t.shape.push_back(static_cast<int>(dim));
     }
+    uint8_t dtype = 0;
+    std::vector<float> scales;
+    if (v2) {
+      wf.read(reinterpret_cast<char*>(&dtype), 1);
+      if (dtype == 1) {
+        uint32_t n_scales;
+        wf.read(reinterpret_cast<char*>(&n_scales), 4);
+        scales.resize(n_scales);
+        wf.read(reinterpret_cast<char*>(scales.data()), n_scales * 4);
+      }
+    }
     uint32_t nbytes;
     wf.read(reinterpret_cast<char*>(&nbytes), 4);
-    t.data.resize(nbytes / 4);
-    wf.read(reinterpret_cast<char*>(t.data.data()), nbytes);
+    if (dtype == 1) {
+      // symmetric per-output-channel int8 (minor dim) -> dequantize to f32
+      std::vector<int8_t> q(nbytes);
+      wf.read(reinterpret_cast<char*>(q.data()), nbytes);
+      const size_t n_out = scales.size();
+      t.data.resize(nbytes);
+      for (size_t e = 0; e < q.size(); ++e)
+        t.data[e] = static_cast<float>(q[e]) * scales[e % n_out];
+    } else {
+      t.data.resize(nbytes / 4);
+      wf.read(reinterpret_cast<char*>(t.data.data()), nbytes);
+    }
     w_[name] = std::move(t);
   }
 

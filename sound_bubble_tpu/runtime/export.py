@@ -48,9 +48,10 @@ def make_flat_step(net, params, dis_embed=None):
         assert next_names == names
         return (out["output"], *next_bufs)
 
-    example_mix = jnp.zeros((1, cfg.num_ch,
-                             cfg.stft_chunk_size + cfg.stft_pad_size),
-                            jnp.float32)
+    example_mix = jnp.zeros(
+        (1, cfg.num_ch,
+         cfg.stft_back_pad + cfg.stft_chunk_size + cfg.stft_pad_size),
+        jnp.float32)
     return fn, names, bufs0, example_mix
 
 
@@ -69,8 +70,14 @@ def export_stablehlo(net, params, path: str, dis_embed=None) -> str:
     return path
 
 
-def export_tflite(net, params, path: str, dis_embed=None) -> str:
-    """jax2tf -> TFLite with named positional I/O."""
+def export_tflite(net, params, path: str, dis_embed=None,
+                  quantize: bool = False) -> str:
+    """jax2tf -> TFLite with named positional I/O.
+
+    quantize=True enables the converter's dynamic-range (weights-int8)
+    quantization — the TFLite analog of the reference's
+    `torch.quantization.quantize_dynamic` LSTM/Linear int8 pass
+    (`/root/reference/edge/to_onnx.py:150-160`)."""
     import tensorflow as tf
     from jax.experimental import jax2tf
 
@@ -87,6 +94,8 @@ def export_tflite(net, params, path: str, dis_embed=None) -> str:
             [wrapped.get_concrete_function()])
         converter.target_spec.supported_ops = [
             tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+        if quantize:
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
         blob = converter.convert()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
@@ -94,9 +103,26 @@ def export_tflite(net, params, path: str, dis_embed=None) -> str:
     return path
 
 
-def export_weights_blob(params, path: str) -> str:
-    """Flat binary for the native C++ engine: little-endian records of
-    [u32 name_len][name][u8 ndim][u32 dims...][u32 nbytes][f32 data]."""
+def _quantizable(name: str, arr: np.ndarray) -> bool:
+    """Matrix weights the reference's dynamic quantization would cover
+    (nn.LSTM + nn.Linear weights, `to_onnx.py:150-160`): 2-D kernels of the
+    projections and the LSTM input/recurrent matrices."""
+    if arr.ndim < 2 or min(arr.shape) < 8:
+        return False
+    leaf = name.rsplit(".", 1)[-1]
+    return leaf in ("kernel", "w_ih", "w_hh", "up_kernel")
+
+
+def export_weights_blob(params, path: str, quantize: bool = False) -> str:
+    """Flat binary for the native C++ engine.
+
+    f32 (magic SBTW0001): records of
+      [u32 name_len][name][u8 ndim][u32 dims...][u32 nbytes][f32 data].
+    int8 weight-only (magic SBTW0002, quantize=True): each record gains a
+      [u8 dtype] (0=f32, 1=int8) after the dims; int8 records carry
+      [u32 n_scales][f32 scales...] (symmetric per-output-channel, minor dim)
+      before the data. The analog of the reference's dynamic int8
+      LSTM/Linear quantization; ~4x smaller hot weights."""
     leaves = {}
 
     def walk(prefix, tree):
@@ -110,7 +136,7 @@ def export_weights_blob(params, path: str) -> str:
     walk("", params)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
-        f.write(b"SBTW0001")
+        f.write(b"SBTW0002" if quantize else b"SBTW0001")
         f.write(struct.pack("<I", len(leaves)))
         for name, arr in leaves.items():
             nb = name.encode()
@@ -119,7 +145,23 @@ def export_weights_blob(params, path: str) -> str:
             f.write(struct.pack("<B", arr.ndim))
             for d in arr.shape:
                 f.write(struct.pack("<I", d))
-            data = np.ascontiguousarray(arr).tobytes()
+            if quantize:
+                if _quantizable(name, arr):
+                    flat = np.ascontiguousarray(arr).reshape(-1, arr.shape[-1])
+                    scales = (np.abs(flat).max(axis=0) / 127.0
+                              ).astype(np.float32)
+                    scales = np.maximum(scales, 1e-12)
+                    q = np.clip(np.round(flat / scales[None, :]),
+                                -127, 127).astype(np.int8)
+                    f.write(struct.pack("<B", 1))
+                    f.write(struct.pack("<I", len(scales)))
+                    f.write(scales.tobytes())
+                    data = q.tobytes()
+                else:
+                    f.write(struct.pack("<B", 0))
+                    data = np.ascontiguousarray(arr).tobytes()
+            else:
+                data = np.ascontiguousarray(arr).tobytes()
             f.write(struct.pack("<I", len(data)))
             f.write(data)
     return path

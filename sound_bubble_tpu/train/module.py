@@ -77,7 +77,12 @@ class PLModule:
         dummy = {"mixture": jnp.zeros((1, n_ch, n_dummy)),
                  "dis_embed": jnp.zeros((1, 3))}
         key = jax.random.PRNGKey(int(np.random.randint(0, 2 ** 31 - 1)))
-        self.params = self.net.init(key, dummy)["params"]
+        variables = self.net.init(key, dummy)
+        self.params = variables["params"]
+        # non-param collections (e.g. DCCRN BatchNorm running stats) are
+        # carried by the trainer and checkpointed alongside the params
+        self.model_state = {k: v for k, v in variables.items()
+                            if k != "params"}
 
         if init_ckpt is not None:
             state = load_checkpoint(init_ckpt)
@@ -98,35 +103,49 @@ class PLModule:
         self.mesh = get_mesh() if use_dp else get_mesh(1)
         self._rep = replicated(self.mesh)
         self.params = jax.device_put(self.params, self._rep)
+        if self.model_state:
+            self.model_state = jax.device_put(self.model_state, self._rep)
         self.optimizer.state = jax.device_put(self.optimizer.state, self._rep)
         self._build_steps()
 
     # ----------------------------------------------------------- jit steps --
     def _build_steps(self):
         net, loss_fn, tx = self.net, self.loss_fn, self.optimizer.tx
+        uses_bs = getattr(net, "uses_batch_stats", False)
 
-        def forward_loss(params, inputs, target, w):
-            out = net.apply({"params": params}, inputs)
-            est = out["output"]
+        def _masked_loss(est, target, w):
             per = jnp.atleast_1d(loss_fn(est=est, gt=target))
             if per.shape[0] == est.shape[0]:
                 # per-sample loss -> mask-weighted mean (exact under padding)
-                loss = jnp.sum(per * w) / jnp.sum(w)
-            else:
-                loss = jnp.mean(per)
-            return loss, est
+                return jnp.sum(per * w) / jnp.sum(w)
+            return jnp.mean(per)
 
-        def train_step(params, opt_state, lr, inputs, target, w):
-            (loss, est), grads = jax.value_and_grad(
-                forward_loss, has_aux=True)(params, inputs, target, w)
+        def forward_loss(params, mstate, inputs, target, w):
+            variables = {"params": params, **mstate}
+            if uses_bs:  # train mode: batch stats + running-average update
+                out, new_ms = net.apply(variables, inputs, train=True,
+                                        mutable=list(mstate))
+            else:
+                out, new_ms = net.apply(variables, inputs), mstate
+            est = out["output"]
+            return _masked_loss(est, target, w), (est, new_ms)
+
+        def val_forward(params, mstate, inputs, target, w):
+            out = net.apply({"params": params, **mstate}, inputs)
+            est = out["output"]
+            return _masked_loss(est, target, w), est
+
+        def train_step(params, mstate, opt_state, lr, inputs, target, w):
+            (loss, (est, mstate)), grads = jax.value_and_grad(
+                forward_loss, has_aux=True)(params, mstate, inputs, target, w)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, est
+            return params, mstate, opt_state, loss, est
 
-        donate = (0, 1)
+        donate = (0, 2)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
-        self._val_step = jax.jit(forward_loss)
+        self._val_step = jax.jit(val_forward)
 
     def _loss_is_per_sample(self, target_shape) -> bool:
         """True when loss_fn(est, gt) returns a per-sample [B] vector (so the
@@ -151,6 +170,9 @@ class PLModule:
         state = load_checkpoint(path)
         self.params = jax.device_put(
             jax.tree_util.tree_map(jnp.asarray, state["model"]), self._rep)
+        if "model_state" in state:
+            self.model_state = jax.device_put(jax.tree_util.tree_map(
+                jnp.asarray, state["model_state"]), self._rep)
         self.optimizer = utils.import_attr(self.optim_name)(
             self.params, grad_clip=self.grad_clip, **self.opt_params)
         if self.scheduler is not None:
@@ -172,6 +194,8 @@ class PLModule:
                      current_epoch=self.epoch,
                      metric_values=self.metric_values,
                      statistics=self.statistics)
+        if self.model_state:
+            state["model_state"] = to_numpy_tree(self.model_state)
         if self.scheduler is not None:
             state["scheduler"] = self.scheduler.state_dict()
         save_checkpoint(path, state)
@@ -314,12 +338,14 @@ class PLModule:
         w = shard_batch(weights, self.mesh)
 
         if step == "train":
-            self.params, self.optimizer.state, loss, est = self._train_step(
-                self.params, self.optimizer.state,
+            (self.params, self.model_state, self.optimizer.state, loss,
+             est) = self._train_step(
+                self.params, self.model_state, self.optimizer.state,
                 jnp.asarray(self.optimizer.lr, jnp.float32),
                 dev_inputs, target, w)
         else:
-            loss, est = self._val_step(self.params, dev_inputs, target, w)
+            loss, est = self._val_step(self.params, self.model_state,
+                                       dev_inputs, target, w)
         est = est[:batch_size]
 
         mix = np.asarray(inputs["mixture"][:, 0:1])
@@ -431,7 +457,8 @@ class ModelHandle:
     def __init__(self, module: "PLModule"):
         self._module = module
         self._jit = jax.jit(
-            lambda p, i, s, pad: module.net.apply({"params": p}, i, s, pad),
+            lambda p, ms, i, s, pad: module.net.apply(
+                {"params": p, **ms}, i, s, pad),
             static_argnames=("pad",))
 
     @property
@@ -452,7 +479,8 @@ class ModelHandle:
                 np.asarray(inputs["mixture"]).shape[0])
         dev = {k: jnp.asarray(np.asarray(v)) for k, v in
                self._module._model_inputs(inputs).items()}
-        return self._jit(self._module.params, dev, input_state, pad)
+        return self._jit(self._module.params, self._module.model_state,
+                         dev, input_state, pad)
 
     # torch-API shims (no-ops in jax)
     def to(self, device):

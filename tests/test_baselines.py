@@ -148,3 +148,71 @@ class TestDccTf:
         out = net.apply(v, {"mixture": x, "label": lab})["output"]
         assert out.shape == (2, 1, 320)
         assert np.abs(np.asarray(out)).max() <= 1.0
+
+
+class TestDCCRNBatchNorm:
+    def test_running_stats_update_and_eval_use(self, rng):
+        """torch BatchNorm semantics (reference ComplexBatchNorm running
+        averages): train mode updates running stats; eval mode uses them."""
+        import flax
+        from sound_bubble_tpu.models.dccrn.model import Net
+        net = Net(n_mics=2, rnn_layers=1, rnn_units=32,
+                  kernel_num=(8, 8, 16, 16, 32, 32))
+        x = _rand(rng, 2, 2, 2400) * 3.0
+        v = net.init(jax.random.PRNGKey(0), {"mixture": x})
+        assert "batch_stats" in v
+        bs0 = jax.tree_util.tree_map(np.asarray, dict(v["batch_stats"]))
+
+        out, upd = net.apply(v, {"mixture": x}, train=True,
+                             mutable=["batch_stats"])
+        bs1 = jax.tree_util.tree_map(np.asarray, dict(upd["batch_stats"]))
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), bs0, bs1)
+        assert max(jax.tree_util.tree_leaves(diff)) > 0, \
+            "running stats must move in train mode"
+
+        # eval output must depend on the running stats
+        y_init = net.apply(v, {"mixture": x})["output"]
+        y_upd = net.apply({"params": v["params"], **upd},
+                          {"mixture": x})["output"]
+        assert np.abs(np.asarray(y_init) - np.asarray(y_upd)).max() > 0
+
+    def test_trains_through_plmodule(self, tmp_path, rng):
+        """DCCRN end-to-end through the trainer: batch_stats threaded by the
+        jitted step and checkpointed."""
+        import sound_bubble_tpu.utils as utils
+        from sound_bubble_tpu.train.checkpoint import load_checkpoint
+        module = utils.import_attr(
+            "sound_bubble_tpu.train.module.PLModule")(
+            model="src.models.DCCRN.network.Net",
+            model_params=dict(n_mics=2, rnn_layers=1, rnn_units=32,
+                              kernel_num=(8, 8, 16, 16, 32, 32)),
+            sr=24000, optimizer="torch.optim.Adam",
+            optimizer_params={"lr": 1e-3},
+            loss="src.losses.SNRLP.SNRLPLoss",
+            loss_params={"snr_loss_name": "snr", "neg_weight": 100},
+            metrics=[], grad_clip=1)
+        assert module.model_state, "DCCRN must carry batch_stats"
+        bs0 = jax.tree_util.tree_map(
+            np.asarray, flax_to_dict(module.model_state))
+        x = _rand(rng, 2, 2, 2400)
+        gt = _rand(rng, 2, 1, np.asarray(
+            module.model({"mixture": x})["output"]).shape[-1])
+        batch = ({"mixture": x},
+                 {"target": gt,
+                  "num_target_speakers": np.ones(2, np.int64),
+                  "num_interfering_speakers": np.zeros(2, np.int64)})
+        loss, _ = module._step(batch, 0, step="train")
+        assert np.isfinite(loss)
+        bs1 = jax.tree_util.tree_map(
+            np.asarray, flax_to_dict(module.model_state))
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), bs0, bs1)
+        assert max(jax.tree_util.tree_leaves(moved)) > 0
+        module.dump_state(str(tmp_path / "ck.pt"))
+        st = load_checkpoint(tmp_path / "ck.pt")
+        assert "model_state" in st
+
+
+def flax_to_dict(tree):
+    return jax.tree_util.tree_map(lambda x: x, dict(tree))

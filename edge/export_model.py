@@ -59,8 +59,9 @@ def main(args):
         json.dump({k: getattr(cfg, k) for k in
                    ("stft_chunk_size", "stft_pad_size", "stft_back_pad",
                     "num_ch", "D", "B", "H", "L", "E", "use_attn",
-                    "conv_lstm", "lstm_down", "use_first_ln", "merge_method",
-                    "directional", "dis_type", "num_src", "conditional")},
+                    "local_atten_len", "conv_lstm", "lstm_down",
+                    "use_first_ln", "merge_method", "directional",
+                    "dis_type", "num_src", "conditional")},
                   f, indent=2)
     print("[INFO] Exported native weights blob")
 

@@ -252,6 +252,7 @@ Engine::Engine(const std::string& model_dir) {
   cfg_.L = json_int(body, "L", 4);
   cfg_.E = json_int(body, "E", 2);
   cfg_.use_attn = json_bool(body, "use_attn", false);
+  cfg_.local_atten_len = json_int(body, "local_atten_len", 100);
   cfg_.conv_lstm = json_bool(body, "conv_lstm", false);
   cfg_.lstm_down = json_int(body, "lstm_down", 4);
   cfg_.use_first_ln = json_bool(body, "use_first_ln", true);
@@ -260,8 +261,6 @@ Engine::Engine(const std::string& model_dir) {
   cfg_.dis_type = json_str(body, "dis_type");
   cfg_.num_src = json_int(body, "num_src", 1);
   cfg_.conditional = json_bool(body, "conditional", true);
-  if (cfg_.use_attn)
-    throw std::runtime_error("sbtpu_edge: attention configs not supported");
 
   // ---- weights blob ----
   std::ifstream wf(model_dir + "/weights.bin", std::ios::binary);
@@ -383,6 +382,14 @@ void Engine::reset() {
   istft_buf_.assign(cfg_.num_src * 2 * F, 0.f);
   h_.assign(cfg_.B, std::vector<float>(F * cfg_.H, 0.f));
   c_.assign(cfg_.B, std::vector<float>(F * cfg_.H, 0.f));
+  if (cfg_.use_attn) {
+    const int W = cfg_.local_atten_len;
+    const int vd = cfg_.D / cfg_.L;
+    k_ring_.assign(cfg_.B,
+                   std::vector<float>(size_t(cfg_.L) * W * F * cfg_.E, 0.f));
+    v_ring_.assign(cfg_.B, std::vector<float>(size_t(cfg_.L) * W * F * vd, 0.f));
+    attn_pos_ = 0;
+  }
 }
 
 namespace {
@@ -633,7 +640,86 @@ void Engine::step(const float* mix, float* out) {
     matmul(h_[b].data(), w_.at(p + "inter_proj.kernel").data.data(),
            w_.at(p + "inter_proj.bias").data.data(), z.data(), F, H, D);
     for (int i = 0; i < F * D; ++i) h[i] += z[i];
+
+    // local causal attention (model.py GridNetBlock use_attn branch):
+    // Q/K/V = Linear -> PReLU -> head split -> LN over F*e; the current K/V
+    // frame joins a W-slot ring (== [K_buf, k_new]); one softmax-weighted
+    // sum per head over all W frames; out proj -> PReLU -> LN(F*D) residual.
+    if (cfg_.use_attn) {
+      const int L = cfg_.L, E = cfg_.E, vd = D / L;
+      const int W = cfg_.local_atten_len;
+      auto qkv = [&](const char* name, int e, float* head_major) {
+        // h[F][D] -> heads[L][F*e] (f-major, e-minor per head), LN per head
+        const std::string q = p + name;
+        std::vector<float> zz(F * L * e);
+        matmul(h.data(), w_.at(q + ".proj.kernel").data.data(),
+               w_.at(q + ".proj.bias").data.data(), zz.data(), F, D, L * e);
+        prelu(zz.data(), w_.at(q + ".act.alpha").data[0], F * L * e);
+        for (int l = 0; l < L; ++l)
+          for (int f = 0; f < F; ++f)
+            std::memcpy(head_major + (size_t(l) * F + f) * e,
+                        zz.data() + (size_t(f) * L + l) * e,
+                        e * sizeof(float));
+        layer_norm(head_major, w_.at(q + ".norm.scale").data.data(),
+                   w_.at(q + ".norm.bias").data.data(), L, F * e);
+      };
+      std::vector<float> qh(size_t(L) * F * E), kh(size_t(L) * F * E);
+      std::vector<float> vh(size_t(L) * F * vd);
+      qkv("attn_q", E, qh.data());
+      qkv("attn_k", E, kh.data());
+      qkv("attn_v", vd, vh.data());
+
+      const int dk = F * E, dv = F * vd;
+      std::vector<float> o(size_t(F) * D);  // [F][L*vd] == [F][D]
+      std::vector<float> probs(W);
+      const float scale = 1.0f / std::sqrt(float(dk));
+      float* kr = k_ring_[b].data();
+      float* vr = v_ring_[b].data();
+      for (int l = 0; l < L; ++l) {
+        float* kl = kr + size_t(l) * W * dk;
+        float* vl = vr + size_t(l) * W * dv;
+        std::memcpy(kl + size_t(attn_pos_) * dk, kh.data() + size_t(l) * dk,
+                    dk * sizeof(float));
+        std::memcpy(vl + size_t(attn_pos_) * dv, vh.data() + size_t(l) * dv,
+                    dv * sizeof(float));
+        const float* ql = qh.data() + size_t(l) * dk;
+        float smax = -1e30f;
+        for (int j = 0; j < W; ++j) {
+          const float* kj = kl + size_t(j) * dk;
+          float s = 0;
+          for (int d2 = 0; d2 < dk; ++d2) s += ql[d2] * kj[d2];
+          probs[j] = s * scale;
+          smax = std::max(smax, probs[j]);
+        }
+        float denom = 0;
+        for (int j = 0; j < W; ++j) {
+          probs[j] = std::exp(probs[j] - smax);
+          denom += probs[j];
+        }
+        const float inv = 1.0f / denom;
+        // out_l[F*vd] = sum_j p_j V[j]; scatter into o[f][l*vd + d]
+        std::vector<float> ol(dv, 0.f);
+        for (int j = 0; j < W; ++j) {
+          const float pj = probs[j] * inv;
+          const float* vj = vl + size_t(j) * dv;
+          for (int d2 = 0; d2 < dv; ++d2) ol[d2] += pj * vj[d2];
+        }
+        for (int f = 0; f < F; ++f)
+          std::memcpy(o.data() + size_t(f) * D + l * vd,
+                      ol.data() + size_t(f) * vd, vd * sizeof(float));
+      }
+      // out projection + PReLU + LayerNorm over the flattened F*D vector
+      std::vector<float> o2(size_t(F) * D);
+      matmul(o.data(), w_.at(p + "attn_out_proj.kernel").data.data(),
+             w_.at(p + "attn_out_proj.bias").data.data(), o2.data(), F, D, D);
+      prelu(o2.data(), w_.at(p + "attn_out_act.alpha").data[0], F * D);
+      layer_norm(o2.data(), w_.at(p + "attn_out_norm.scale").data.data(),
+                 w_.at(p + "attn_out_norm.bias").data.data(), 1, F * D);
+      for (int i = 0; i < F * D; ++i) h[i] += o2[i];
+    }
   }
+  if (cfg_.use_attn)
+    attn_pos_ = (attn_pos_ + 1) % cfg_.local_atten_len;
 
   g_prof.lap(3);
   // ---- deconv (flipped 3x3), over [deconv_buf ++ h] ----

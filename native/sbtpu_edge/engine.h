@@ -10,9 +10,9 @@
 // tests/test_native.py).
 //
 // Supported configs: merge_method=early_cat|None, conditional on/off,
-// conv_lstm on/off, use_first_ln, spectral_masking. Attention is not
-// implemented (production configs run use_attn=false); loading such a model
-// aborts with a clear error.
+// conv_lstm on/off, use_first_ln, spectral_masking, and use_attn (local
+// causal attention with a W-frame K/V ring per block, matching the JAX
+// model's K_buf/V_buf streaming semantics).
 #pragma once
 
 #include <cstdint>
@@ -38,6 +38,7 @@ struct Config {
   int stft_back_pad = 0;
   int num_ch = 6;
   int D = 32, B = 6, H = 64, L = 4, E = 2;
+  int local_atten_len = 100;
   bool use_attn = false;
   bool conv_lstm = false;
   int lstm_down = 4;
@@ -97,6 +98,13 @@ class Engine {
   std::vector<float> deconv_buf_;  // [2][F][D]
   std::vector<float> istft_buf_;   // [num_src][1][2F]
   std::vector<std::vector<float>> h_, c_;  // per block: [F][H]
+  // local attention K/V rings, per block: [L][W][F*E] / [L][W][F*(D/L)].
+  // Slot `attn_pos_` holds the CURRENT frame once written; the other W-1
+  // slots are the JAX model's K_buf/V_buf history (zeros at reset, exactly
+  // like init_state). Attention is a softmax-weighted sum over all W slots,
+  // which is permutation-invariant, so ring order == concat order.
+  std::vector<std::vector<float>> k_ring_, v_ring_;
+  int attn_pos_ = 0;
 
   // scratch
   std::vector<float> scratch_a_, scratch_b_, scratch_c_, scratch_d_;

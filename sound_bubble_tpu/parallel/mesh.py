@@ -36,15 +36,25 @@ def shard_batch(batch, mesh: Mesh):
     """Place array leaves with the batch axis sharded over `data`; leaves whose
     leading dim does not divide the mesh are replicated WITH A LOUD WARNING
     (replication forfeits data parallelism — pad the batch with `pad_batch`
-    and mask instead; the trainer does this automatically)."""
+    and mask instead; the trainer does this automatically).
+
+    Multi-host: each process passes its LOCAL slice of the batch; the global
+    array is assembled host-locally (global leading dim = local x processes).
+    """
     import warnings
 
-    n = mesh.devices.size
+    n_proc = jax.process_count()
+    n = mesh.devices.size // max(n_proc, 1)  # local devices on the data axis
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
 
     def place(x):
         x = np.asarray(x)
+        if n_proc > 1:
+            if x.ndim >= 1 and x.shape[0] % n == 0:
+                return jax.make_array_from_process_local_data(bs, x)
+            # replicated leaf: every process must pass identical data
+            return jax.make_array_from_process_local_data(rep, x)
         if x.ndim >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, bs)
         key = (x.shape[0] if x.ndim else 0, n)

@@ -214,11 +214,20 @@ class PLModule:
         return entry["epoch"] / entry["num_elements"]
 
     def on_epoch_end(self, best_path, wandb_run):
+        """best_path/wandb_run may be None (non-primary hosts in multi-host
+        DP): the scheduler/epoch bookkeeping still runs — it must stay in
+        lockstep across hosts — but nothing is written."""
         assert self.epoch + 1 == len(self.metric_values), \
             "Current epoch must be equal to length of metrics (0-indexed)"
         monitor_last = self.get_avg_metric_at_epoch(self.monitor)
+        if jax.process_count() > 1:
+            # every host monitors a different val shard; average the monitor
+            # metric so scheduler/best decisions stay in lockstep
+            from jax.experimental import multihost_utils
+            monitor_last = float(np.mean(multihost_utils.process_allgather(
+                np.float32(monitor_last))))
 
-        save = True
+        save = best_path is not None
         for epoch in range(len(self.metric_values) - 1):
             at_epoch = self.get_avg_metric_at_epoch(self.monitor, epoch)
             if self.monitor_mode == "max" and monitor_last < at_epoch:
@@ -235,6 +244,16 @@ class PLModule:
         for name in ("val/snr_i", "val/si_snr_i", "val/si_sdr_i"):
             if name in self.metric_values[self.epoch]:
                 print(f"{name}: {self.get_avg_metric_at_epoch(name):.02f}dB")
+
+        if wandb_run is None:
+            if self.scheduler is not None:
+                from sound_bubble_tpu.train.optim import ReduceLROnPlateau
+                if isinstance(self.scheduler, ReduceLROnPlateau):
+                    self.scheduler.step(monitor_last)
+                else:
+                    self.scheduler.step()
+            self.epoch += 1
+            return
 
         wandb_run.log({"lr-Adam": self.get_current_lr()}, commit=False,
                       step=self.epoch + 1)
@@ -346,6 +365,12 @@ class PLModule:
         else:
             loss, est = self._val_step(self.params, self.model_state,
                                        dev_inputs, target, w)
+        if jax.process_count() > 1:
+            # metrics are computed host-locally on this process's rows of the
+            # global batch (the global est is not fully addressable here)
+            shards = sorted(est.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            est = np.concatenate([np.asarray(s.data) for s in shards])
         est = est[:batch_size]
 
         mix = np.asarray(inputs["mixture"][:, 0:1])

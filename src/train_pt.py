@@ -29,15 +29,21 @@ def seed_from_epoch(seed):
 def train(args: argparse.Namespace):
     global CURRENT_EPOCH
     utils.ensure_platform()
+    # multi-host bring-up must precede any other backend touch (no-op when
+    # SB_COORDINATOR / SB_AUTO_DISTRIBUTED are unset)
+    from sound_bubble_tpu.parallel.launch import (
+        is_primary, maybe_initialize_distributed, shard_dataset,
+    )
+    maybe_initialize_distributed()
     utils.seed_all(args.seed)
 
     with open(args.config, "rb") as f:
         params = json.load(f)
 
-    data_train = utils.import_attr(params["train_dataset"])(
-        **params["train_data_args"], split="train")
-    data_val = utils.import_attr(params["val_dataset"])(
-        **params["val_data_args"], split="val")
+    data_train = shard_dataset(utils.import_attr(params["train_dataset"])(
+        **params["train_data_args"], split="train"))
+    data_val = shard_dataset(utils.import_attr(params["val_dataset"])(
+        **params["val_data_args"], split="val"))
 
     num_workers = min(multiprocessing.cpu_count(), params["num_workers"])
     train_loader = DataLoader(data_train, batch_size=params["batch_size"],
@@ -63,8 +69,9 @@ def train(args: argparse.Namespace):
     start_epoch = hl_module.epoch
 
     project_name = params.get("project_name", "AcousticBubble")
-    wandb_run = init_run(project_name, run_name, run_dir=args.run_dir,
-                         notes="", tags=["speech", "audio", "tpu"])
+    wandb_run = (init_run(project_name, run_name, run_dir=args.run_dir,
+                          notes="", tags=["speech", "audio", "tpu"])
+                 if is_primary() else None)
 
     try:
         for epoch in range(start_epoch, params["epochs"]):
@@ -94,8 +101,13 @@ def train(args: argparse.Namespace):
             test_loss = test_epoch(hl_module, test_loader, None)
             print("\nTest set: Average Loss: {:.4f}\n".format(test_loss))
 
-            hl_module.on_epoch_end(best_path, wandb_run)
-            hl_module.dump_state(state_path)
+            # params/opt-state are replicated, so every host holds the same
+            # values — only host 0 writes them (shared-FS safe)
+            if is_primary():
+                hl_module.on_epoch_end(best_path, wandb_run)
+                hl_module.dump_state(state_path)
+            else:
+                hl_module.on_epoch_end(None, None)
             print()
             print("=" * 25, "FINISHED EPOCH", epoch, "=" * 25)
             print()

@@ -24,7 +24,8 @@ def native_lib():
     return LIB
 
 
-@pytest.mark.parametrize("variant", ["plain", "conv_lstm", "uncond", "back_pad"])
+@pytest.mark.parametrize(
+    "variant", ["plain", "conv_lstm", "uncond", "back_pad", "attn"])
 def test_native_matches_jax(native_lib, tmp_path, variant, rng):
     import jax
     import jax.numpy as jnp
@@ -47,6 +48,9 @@ def test_native_matches_jax(native_lib, tmp_path, variant, rng):
         conditional = False
     elif variant == "back_pad":
         params_dict.update(stft_back_pad=16)
+    elif variant == "attn":
+        # W < n chunks so the K/V ring actually wraps during the stream
+        params_dict.update(use_attn=True, local_atten_len=6)
     net = make_net(params_dict, conditional=conditional)
     cfg = net.cfg
     x = rng.standard_normal(
@@ -62,9 +66,9 @@ def test_native_matches_jax(native_lib, tmp_path, variant, rng):
     model_dir.mkdir()
     export_weights_blob(params, str(model_dir / "weights.bin"))
     keys = ("stft_chunk_size", "stft_pad_size", "stft_back_pad", "num_ch",
-            "D", "B", "H", "L", "E", "use_attn", "conv_lstm", "lstm_down",
-            "use_first_ln", "merge_method", "directional", "dis_type",
-            "num_src", "conditional")
+            "D", "B", "H", "L", "E", "use_attn", "local_atten_len",
+            "conv_lstm", "lstm_down", "use_first_ln", "merge_method",
+            "directional", "dis_type", "num_src", "conditional")
     (model_dir / "model_config.json").write_text(
         json.dumps({k: getattr(cfg, k) for k in keys}))
 

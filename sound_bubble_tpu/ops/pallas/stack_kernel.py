@@ -1,0 +1,198 @@
+"""Pallas TPU kernel: the ENTIRE GridNet block stack in ONE kernel (streaming
+T=1, batch=1) — the single-stream latency fast path.
+
+The streaming step's critical path is ~B*(F+1) dependent LSTM cell updates
+(B=6 blocks x F=145 intra steps + 1 inter step at the production config —
+SURVEY §7 hard-part #2). Run as XLA `lax.scan`s, every cell pays whole-program
+loop overhead and every op boundary round-trips activations through HBM. This
+kernel keeps the activation tile `x[F, D]`, all six blocks' weights (~2.5 MB),
+and the LSTM states resident in VMEM for the whole step:
+
+- intra BLSTM: both directions fused into one F-step `fori_loop` (state
+  [1, 2H], recurrent matrix block-diagonal [2H, 8H], gate-major lanes — the
+  same packing as ops/pallas/lstm_kernel.py); the backward direction's input
+  projections are read at the mirrored index, and its hidden states are
+  stored at the mirrored row, so no flips materialize;
+- inter LSTM (one step per chunk): all F frequency lanes advance in parallel
+  as two MXU matmuls + a vectorized gate sweep;
+- FiLM between blocks is a fused multiply-add with precomputed per-block
+  [F, D] scale/bias (the distance embedding is fixed per stream).
+
+Covers `use_attn=False, conv_lstm=False` configs (the production separator,
+`/root/reference/syn_experiments/pretrain_stage.json`); other configs keep
+the XLA path. Conv/STFT ends stay in XLA — they are parallel MXU work with
+no dependent-chain latency (see runtime/fast_path.py for the full step).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_stack_params(cfg, params):
+    """Model params (block{i} subtrees) -> stacked kernel operands.
+
+    Returns a dict of [B, ...] arrays: gate-major fused intra BLSTM weights,
+    intra/inter LN affines, projections, inter LSTM weights.
+    """
+    B, D, H = cfg.B, cfg.D, cfg.H
+
+    def gather(path):
+        out = []
+        for i in range(B):
+            node = params[f"block{i}"]
+            for k in path:
+                node = node[k]
+            out.append(np.asarray(node, np.float32))
+        return jnp.asarray(np.stack(out))
+
+    # fused BLSTM packing: gate g occupies lanes [g*2H, g*2H+H) fwd and
+    # [g*2H+H, (g+1)*2H) bwd; recurrent matrix is block-diagonal so the fwd
+    # state only drives fwd lanes and vice versa.
+    wih_f = np.zeros((B, D, 8 * H), np.float32)
+    wih_b = np.zeros((B, D, 8 * H), np.float32)
+    whh = np.zeros((B, 2 * H, 8 * H), np.float32)
+    b8 = np.zeros((B, 8 * H), np.float32)
+    for i in range(B):
+        bl = params[f"block{i}"]["intra"]["blstm"]
+        for g in range(4):
+            lo = g * 2 * H
+            sl = slice(g * H, (g + 1) * H)
+            wih_f[i, :, lo:lo + H] = np.asarray(bl["fwd"]["w_ih"][:, sl])
+            wih_b[i, :, lo + H:lo + 2 * H] = np.asarray(bl["bwd"]["w_ih"][:, sl])
+            whh[i, :H, lo:lo + H] = np.asarray(bl["fwd"]["w_hh"][:, sl])
+            whh[i, H:, lo + H:lo + 2 * H] = np.asarray(bl["bwd"]["w_hh"][:, sl])
+            b8[i, lo:lo + H] = np.asarray(bl["fwd"]["b"][sl])
+            b8[i, lo + H:lo + 2 * H] = np.asarray(bl["bwd"]["b"][sl])
+
+    return {
+        "i_ln": jnp.stack([gather(("intra", "norm", "scale")),
+                           gather(("intra", "norm", "bias"))], axis=1),
+        "wih_f": jnp.asarray(wih_f),
+        "wih_b": jnp.asarray(wih_b),
+        "whh": jnp.asarray(whh),
+        "b8": jnp.asarray(b8),
+        "proj_w": gather(("intra", "proj", "kernel")),
+        "proj_b": gather(("intra", "proj", "bias")),
+        "t_ln": jnp.stack([gather(("inter_norm", "scale")),
+                           gather(("inter_norm", "bias"))], axis=1),
+        "wih2": gather(("inter_lstm", "w_ih")),
+        "whh2": gather(("inter_lstm", "w_hh")),
+        "b2": gather(("inter_lstm", "b")),
+        "proj2_w": gather(("inter_proj", "kernel")),
+        "proj2_b": gather(("inter_proj", "bias")),
+    }
+
+
+def _ln(x, s, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _kernel(x_ref, film_w_ref, film_b_ref, i_ln_ref, wih_f_ref, wih_b_ref,
+            whh_ref, b8_ref, proj_w_ref, proj_b_ref, t_ln_ref, wih2_ref,
+            whh2_ref, b2_ref, proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
+            x_out_ref, h0_out_ref, c0_out_ref,
+            gxf_ref, gxb_ref, yf_ref, yb_ref,
+            *, n_blocks, f_len, hidden, use_film, eps):
+    H = hidden
+    h2 = 2 * H
+    F = f_len
+    x = x_ref[:]                                   # [F, D] lives in VMEM
+
+    for b in range(n_blocks):
+        if use_film and b > 0:
+            x = x * film_w_ref[b - 1] + film_b_ref[b - 1]
+
+        # ---- intra: fused-direction BLSTM over frequency ----
+        z = _ln(x, i_ln_ref[b, 0], i_ln_ref[b, 1], eps)
+        gxf_ref[:] = (jnp.dot(z, wih_f_ref[b],
+                              preferred_element_type=jnp.float32)
+                      + b8_ref[b])[:, None, :]     # [F, 1, 8H]
+        gxb_ref[:] = jnp.dot(z, wih_b_ref[b],
+                             preferred_element_type=jnp.float32)[:, None, :]
+        whh_b = whh_ref[b]                         # [2H, 8H]
+
+        def step(f, carry):
+            h1, c1 = carry                         # [1, 2H] each
+            rev = F - 1 - f
+            gates = (gxf_ref[f] + gxb_ref[rev]
+                     + jnp.dot(h1, whh_b, preferred_element_type=jnp.float32))
+            ig = jax.nn.sigmoid(gates[:, 0:h2])
+            fg = jax.nn.sigmoid(gates[:, h2:2 * h2])
+            gg = jnp.tanh(gates[:, 2 * h2:3 * h2])
+            og = jax.nn.sigmoid(gates[:, 3 * h2:])
+            c1 = fg * c1 + ig * gg
+            h1 = og * jnp.tanh(c1)
+            yf_ref[f] = h1[:, :H]                  # fwd h at row f
+            yb_ref[rev] = h1[:, H:]                # bwd h at mirrored row
+            return h1, c1
+
+        zero = jnp.zeros((1, h2), jnp.float32)
+        jax.lax.fori_loop(0, F, step, (zero, zero))
+        y2h = jnp.concatenate([yf_ref[:][:, 0], yb_ref[:][:, 0]], axis=-1)
+        x = x + jnp.dot(y2h, proj_w_ref[b],
+                        preferred_element_type=jnp.float32) + proj_b_ref[b]
+
+        # ---- inter: ONE stateful LSTM step, all F lanes in parallel ----
+        z2 = _ln(x, t_ln_ref[b, 0], t_ln_ref[b, 1], eps)
+        g2 = (jnp.dot(z2, wih2_ref[b], preferred_element_type=jnp.float32)
+              + b2_ref[b]
+              + jnp.dot(h0_ref[b], whh2_ref[b],
+                        preferred_element_type=jnp.float32))
+        i2 = jax.nn.sigmoid(g2[:, 0:H])
+        f2 = jax.nn.sigmoid(g2[:, H:2 * H])
+        gg2 = jnp.tanh(g2[:, 2 * H:3 * H])
+        o2 = jax.nn.sigmoid(g2[:, 3 * H:])
+        c_new = f2 * c0_ref[b] + i2 * gg2
+        h_new = o2 * jnp.tanh(c_new)
+        h0_out_ref[b] = h_new
+        c0_out_ref[b] = c_new
+        x = x + jnp.dot(h_new, proj2_w_ref[b],
+                        preferred_element_type=jnp.float32) + proj2_b_ref[b]
+
+    x_out_ref[:] = x
+
+
+def gridnet_stack_step(packed, x, h0, c0, film_w=None, film_b=None,
+                       eps: float = 1e-5, interpret: bool = False):
+    """One streaming step of the full block stack.
+
+    x: [F, D] post-conv features for the current chunk; h0/c0: [B, F, H]
+    inter-LSTM state; film_w/film_b: [B-1, F, D] precomputed FiLM affines
+    (None for unconditional models). Returns (x_out [F, D], h0', c0').
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_blocks, _, hidden4 = packed["wih2"].shape
+    hidden = hidden4 // 4
+    f_len, d = x.shape
+    use_film = film_w is not None
+    if not use_film:
+        film_w = jnp.zeros((max(n_blocks - 1, 1), f_len, d), jnp.float32)
+        film_b = jnp.zeros_like(film_w)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_blocks=n_blocks, f_len=f_len,
+                          hidden=hidden, use_film=use_film, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((f_len, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n_blocks, f_len, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((n_blocks, f_len, hidden), jnp.float32)),
+        in_specs=[vmem] * 18,
+        out_specs=(vmem, vmem, vmem),
+        scratch_shapes=[pltpu.VMEM((f_len, 1, 8 * hidden), jnp.float32),
+                        pltpu.VMEM((f_len, 1, 8 * hidden), jnp.float32),
+                        pltpu.VMEM((f_len, 1, hidden), jnp.float32),
+                        pltpu.VMEM((f_len, 1, hidden), jnp.float32)],
+        interpret=interpret,
+    )(x, film_w, film_b, packed["i_ln"], packed["wih_f"], packed["wih_b"],
+      packed["whh"], packed["b8"], packed["proj_w"], packed["proj_b"],
+      packed["t_ln"], packed["wih2"], packed["whh2"], packed["b2"],
+      packed["proj2_w"], packed["proj2_b"], h0, c0)
+    return out

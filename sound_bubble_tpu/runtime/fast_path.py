@@ -1,0 +1,150 @@
+"""Single-stream low-latency streaming: the fused Pallas block stack.
+
+`ModelWrapper` (runtime/streaming.py) runs the model's own forward — correct
+for every config, but the block stack becomes ~B*(F+1) XLA-scan LSTM steps
+whose loop overhead dominates single-stream latency. `FusedStreamer` runs the
+SAME math with the whole stack in one Pallas kernel
+(ops/pallas/stack_kernel.py); the STFT/feature/conv ends stay in XLA (they
+are parallel MXU work). Supported: `use_attn=False, conv_lstm=False,
+stft_back_pad=0` — the production separator config. Output parity with the
+model forward is tested to 1e-4 (tests/test_fast_path.py).
+
+Reference anchor: this replaces the reference's per-chunk ONNX/TFLite loop
+(`/root/reference/edge/causal_infer.py:75-87`) as the latency-serving path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sound_bubble_tpu.models.tfgridnet.model import (
+    CausalConv2d, CausalDeconv2d, DisEmbed, LayerNorm, Linear, init_state,
+)
+from sound_bubble_tpu.ops.features import spatial_features
+from sound_bubble_tpu.ops.pallas.stack_kernel import (
+    gridnet_stack_step, pack_stack_params,
+)
+from sound_bubble_tpu.ops.stft import istft, make_stft, stft
+
+
+class FusedStreamer:
+    """Stateful single-stream streaming wrapper (batch=1) on the fused
+    kernel. Same `feed(window)` contract as ModelWrapper."""
+
+    def __init__(self, net, params, dis_embed=None, interpret: bool = False):
+        cfg = net.cfg
+        if cfg.use_attn or cfg.conv_lstm or cfg.stft_back_pad != 0:
+            raise ValueError(
+                "FusedStreamer supports use_attn=False, conv_lstm=False, "
+                "stft_back_pad=0 configs; use ModelWrapper for this model")
+        self.cfg = cfg
+        self._params = params
+        self._interpret = interpret
+        self._packed = pack_stack_params(cfg, params)
+        self._film = self._precompute_film(dis_embed)
+        self.internal_state = None
+        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+
+    def _precompute_film(self, dis_embed):
+        cfg, params = self.cfg, self._params
+        if not cfg.conditional:
+            return None
+        if dis_embed is None:
+            dis_embed = jnp.asarray([[0.0, 0.0, 1.0]])
+        dis_embed = jnp.asarray(np.asarray(dis_embed, np.float32))
+        emb = DisEmbed(cfg).apply(
+            {"params": params["dis_embed"]}, dis_embed)     # [1, F, d_in]
+        ws, bs = [], []
+        for i in range(cfg.B - 1):
+            fp = params[f"film{i}"]
+            ws.append(Linear(cfg.D).apply({"params": fp["weight"]}, emb)[0])
+            bs.append(Linear(cfg.D).apply({"params": fp["bias"]}, emb)[0])
+        return jnp.stack(ws), jnp.stack(bs)                 # [B-1, F, D] x2
+
+    def set_dis_embed(self, dis_embed):
+        self._film = self._precompute_film(dis_embed)
+
+    def reset(self):
+        self.internal_state = None
+
+    def _step_impl(self, window, state, film):
+        """window: [1, M, chunk+pad] -> (out [1, num_src, chunk], state')."""
+        cfg, params = self.cfg, self._params
+        fb = make_stft(cfg.n_fft, cfg.stft_chunk_size)
+        F = cfg.n_freqs
+        next_state = dict(state)
+
+        spec = stft(fb, window)                      # [1, M, 1, 2F]
+        real, imag = spec[..., :F], spec[..., F:]
+        base = jnp.moveaxis(jnp.concatenate([real, imag], axis=1), 1, -1)
+        if cfg.merge_method == "early_cat":
+            feat = jnp.concatenate(
+                [base, spatial_features(real, imag, cfg.directional)], axis=-1)
+        else:
+            feat = base                              # [1, 1, F, Cin]
+
+        full = jnp.concatenate([state["conv_buf"], feat], axis=1)
+        next_state["conv_buf"] = full[:, -2:]
+        h = CausalConv2d(cfg.D).apply({"params": params["conv"]}, full)
+        if cfg.use_first_ln:
+            h = LayerNorm(cfg.D).apply({"params": params["first_ln"]}, h)
+
+        h0 = jnp.stack([state["gridnet_bufs"][f"buf{i}"]["h0"][0]
+                        for i in range(cfg.B)])      # [B, F, H]
+        c0 = jnp.stack([state["gridnet_bufs"][f"buf{i}"]["c0"][0]
+                        for i in range(cfg.B)])
+        fw, fb_ = film if film is not None else (None, None)
+        x, h0n, c0n = gridnet_stack_step(
+            self._packed, h[0, 0], h0, c0, fw, fb_, eps=cfg.eps,
+            interpret=self._interpret)
+        next_state["gridnet_bufs"] = {
+            f"buf{i}": {"h0": h0n[i][None], "c0": c0n[i][None]}
+            for i in range(cfg.B)}
+
+        hfull = jnp.concatenate([state["deconv_buf"], x[None, None]], axis=1)
+        next_state["deconv_buf"] = hfull[:, -2:]
+        out = CausalDeconv2d(cfg.num_src * 2).apply(
+            {"params": params["deconv"]}, hfull)     # [1, 1, F, 2*num_src]
+        out = out.reshape(1, 1, F, cfg.num_src, 2)
+        est = jnp.concatenate(
+            [out[..., 0].transpose(0, 3, 1, 2),
+             out[..., 1].transpose(0, 3, 1, 2)], axis=-1)   # [1, S, 1, 2F]
+        if cfg.spectral_masking:
+            est = est * spec[:, :cfg.num_src]
+
+        full_spec = jnp.concatenate([state["istft_buf"], est], axis=2)
+        next_state["istft_buf"] = full_spec[:, :, -cfg.istft_lookback:]
+        chunk = cfg.stft_chunk_size
+        y = istft(fb, full_spec)
+        y = y[..., :-(cfg.n_fft - chunk)]
+        y = y[..., cfg.istft_lookback * chunk:]
+        return y, next_state
+
+    def feed(self, window):
+        window = jnp.asarray(np.asarray(window, np.float32))
+        if self.internal_state is None:
+            self.internal_state = init_state(self.cfg, 1)
+        out, self.internal_state = self._step(window, self.internal_state,
+                                              self._film)
+        return out
+
+
+def fused_scan_stream(net, params, windows, dis_embed=None,
+                      interpret: bool = False):
+    """Whole-signal fused streaming in ONE device dispatch (the measurement
+    harness for bench.py): windows [n_chunks, 1, M, chunk+pad] chained with
+    lax.scan through the fused step."""
+    fs = FusedStreamer(net, params, dis_embed, interpret=interpret)
+    state0 = init_state(net.cfg, 1)
+
+    def body(st, win):
+        y, st2 = fs._step_impl(win, st, fs._film)
+        return st2, y
+
+    def run(windows, state):
+        return jax.lax.scan(body, state, windows)
+
+    _, ys = jax.jit(run)(windows, state0)
+    # ys: [n_chunks, 1, S, chunk] -> [1, S, n_chunks*chunk]
+    return jnp.moveaxis(ys, 0, 2).reshape(ys.shape[1], ys.shape[2], -1)

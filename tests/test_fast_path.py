@@ -1,0 +1,74 @@
+"""Fused-stack fast path (Pallas, interpret mode on CPU): output parity with
+the model's own forward, chunk by chunk with carried state."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sound_bubble_tpu.models.tfgridnet.model import make_net
+from sound_bubble_tpu.runtime.fast_path import FusedStreamer, fused_scan_stream
+from sound_bubble_tpu.runtime.streaming import ModelWrapper, streaming_inference
+
+SMALL = dict(stft_chunk_size=32, stft_pad_size=16, num_ch=6, D=8, B=3, H=8,
+             L=2, E=2, use_attn=False, chunk_causal=True, use_first_ln=True,
+             merge_method="early_cat", conv_lstm=False, dis_type="conv3")
+
+
+@pytest.mark.parametrize("variant", ["cond", "uncond", "masking"])
+def test_fused_matches_model(variant, rng):
+    params_dict = dict(SMALL)
+    conditional = variant != "uncond"
+    if variant == "masking":
+        params_dict.update(spectral_masking=True)
+    net = make_net(params_dict, conditional=conditional)
+    cfg = net.cfg
+    x = rng.standard_normal(
+        (1, 6, cfg.stft_chunk_size * 8 + cfg.stft_pad_size)
+    ).astype(np.float32) * 3
+    inputs = {"mixture": jnp.asarray(x[..., :cfg.n_fft])}
+    dis = jnp.asarray([[0.0, 1.0, 0.0]])
+    if conditional:
+        inputs["dis_embed"] = dis
+    params = net.init(jax.random.PRNGKey(0), inputs)["params"]
+
+    ref = np.asarray(streaming_inference(
+        ModelWrapper(net, params), x, cfg.stft_chunk_size, cfg.stft_pad_size,
+        dis_embed=dis))
+
+    fs = FusedStreamer(net, params, dis_embed=dis, interpret=True)
+    T, P = cfg.stft_chunk_size, cfg.stft_pad_size
+    window = np.zeros((1, 6, T + P), np.float32)
+    window[..., -P:] = x[..., :P]
+    outs = []
+    for i in range(P, x.shape[-1] - T + 1, T):
+        window = np.roll(window, -T, axis=-1)
+        window[..., -T:] = x[..., i:i + T]
+        outs.append(np.asarray(fs.feed(window)))
+    got = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_scan_matches_feed_loop(rng):
+    net = make_net(SMALL, conditional=True)
+    cfg = net.cfg
+    T, P = cfg.stft_chunk_size, cfg.stft_pad_size
+    n_chunks = 5
+    x = rng.standard_normal((1, 6, T * n_chunks + P)).astype(np.float32)
+    inputs = {"mixture": jnp.asarray(x[..., :cfg.n_fft]),
+              "dis_embed": jnp.asarray([[0.0, 0.0, 1.0]])}
+    params = net.init(jax.random.PRNGKey(1), inputs)["params"]
+
+    windows = np.stack([x[..., i * T:i * T + T + P]
+                        for i in range(n_chunks)])
+    got = np.asarray(fused_scan_stream(net, params, jnp.asarray(windows),
+                                       interpret=True))
+    ref = np.asarray(streaming_inference(
+        ModelWrapper(net, params), x, T, P))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_rejects_unsupported_configs():
+    net = make_net({**SMALL, "use_attn": True, "local_atten_len": 5},
+                   conditional=True)
+    with pytest.raises(ValueError):
+        FusedStreamer(net, {}, interpret=True)

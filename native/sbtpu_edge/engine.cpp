@@ -45,6 +45,10 @@ inline float fast_tanh(float x) {
 
 inline float sigmoidf(float x) { return 0.5f * fast_tanh(0.5f * x) + 0.5f; }
 
+#if defined(__AVX512F__) && defined(__AVX512VNNI__)
+#define SBTPU_INT8 1
+#endif
+
 #if defined(__AVX512F__)
 #include <immintrin.h>
 // One output row y[NV*16] = init + x[m] @ w[m][NV*16], with the WHOLE row
@@ -85,6 +89,85 @@ inline bool row_gemv_dispatch(const float* x, const float* w,
 inline bool row_gemv_dispatch(const float*, const float*, const float*,
                               float*, int, int) { return false; }
 #endif
+
+// ---------------------------------------------------------------- int8 ----
+// Dynamic-quantized GEMV (the reference deploys torch.quantization.
+// quantize_dynamic LSTM/Linear, edge/to_onnx.py:150-160; this is the same
+// scheme natively): weights are per-output-column symmetric int8, the
+// activation row is quantized on the fly to u8 (zero-point 128), products
+// accumulate in int32 via vpdpbusd (4 MACs/lane/instr = 4x f32 FMA peak).
+#ifdef SBTPU_INT8
+// quantize one activation row to u8 (zero-point 128); returns the scale
+inline float quantize_row_u8(const float* __restrict x, int m,
+                             uint8_t* __restrict xq) {
+  const int mp = (m + 3) & ~3;
+  int k = 0;
+  __m512 vmax = _mm512_setzero_ps();
+  for (; k + 16 <= m; k += 16)
+    vmax = _mm512_max_ps(vmax, _mm512_abs_ps(_mm512_loadu_ps(x + k)));
+  float mx = _mm512_reduce_max_ps(vmax);
+  for (; k < m; ++k) mx = std::max(mx, std::abs(x[k]));
+  if (mx == 0) {
+    std::memset(xq, 128, mp);
+    return 0.0f;
+  }
+  const float inv = 127.0f / mx;
+  const __m512 vinv = _mm512_set1_ps(inv);
+  const __m512i v128 = _mm512_set1_epi32(128);
+  for (k = 0; k + 16 <= m; k += 16) {
+    // round-to-nearest-even == lrintf; results land in [1, 255] so the
+    // unsigned-saturating narrow is exact
+    __m512i vi = _mm512_add_epi32(
+        _mm512_cvtps_epi32(_mm512_mul_ps(_mm512_loadu_ps(x + k), vinv)),
+        v128);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(xq + k),
+                     _mm512_cvtusepi32_epi8(vi));
+  }
+  for (; k < m; ++k) {
+    int v = static_cast<int>(std::lrintf(x[k] * inv)) + 128;
+    xq[k] = static_cast<uint8_t>(std::min(std::max(v, 0), 255));
+  }
+  for (k = m; k < mp; ++k) xq[k] = 128;  // padded weights are zero
+  return mx / 127.0f;
+}
+
+// y[n] = (xq @ qpack) * (sx*scale) + init  (init==y for accumulate)
+inline void gemv_q(const uint8_t* __restrict xq, const Tensor& w,
+                   float sx, const float* __restrict init,
+                   float* __restrict y, int m, int n) {
+  if (sx == 0.0f) {
+    if (init != y) {
+      if (init) std::memcpy(y, init, n * sizeof(float));
+      else std::memset(y, 0, n * sizeof(float));
+    }
+    return;
+  }
+  const int groups = (m + 3) / 4;
+  const int8_t* __restrict wp0 = w.qpack.data();
+  for (int j0 = 0; j0 < n; j0 += 16) {
+    __m512i acc = _mm512_setzero_si512();
+    const int8_t* __restrict wp = wp0 + j0 * 4;
+    for (int g = 0; g < groups; ++g) {
+      int xw;
+      std::memcpy(&xw, xq + 4 * g, 4);
+      const __m512i xv = _mm512_set1_epi32(xw);
+      const __m512i wv = _mm512_loadu_si512(
+          reinterpret_cast<const void*>(wp + static_cast<size_t>(g) * n * 4));
+      acc = _mm512_dpbusd_epi32(acc, xv, wv);
+    }
+    // remove the u8 zero-point: acc -= 128 * colsum
+    const __m512i cs = _mm512_loadu_si512(
+        reinterpret_cast<const void*>(w.colsum.data() + j0));
+    acc = _mm512_sub_epi32(acc, _mm512_slli_epi32(cs, 7));
+    const __m512 sc = _mm512_mul_ps(_mm512_set1_ps(sx),
+                                    _mm512_loadu_ps(w.scales.data() + j0));
+    const __m512 base = init ? _mm512_loadu_ps(init + j0)
+                             : _mm512_setzero_ps();
+    _mm512_storeu_ps(y + j0, _mm512_fmadd_ps(_mm512_cvtepi32_ps(acc), sc,
+                                             base));
+  }
+}
+#endif  // SBTPU_INT8
 
 // y[F][N] = x[F][M] @ w[M][N] (+ bias[N])
 void matmul(const float* __restrict x, const float* __restrict w,
@@ -199,6 +282,59 @@ void lstm_cell(float* __restrict gates, const float* __restrict w_hh,
   }
 }
 
+// Tensor-aware dispatchers: int8 fast path when the tensor kept its
+// quantized payload, f32 otherwise. Shapes as in matmul()/matmul_acc().
+void mm(const float* x, const Tensor& w, const float* bias, float* y,
+        int f, int m, int n) {
+#ifdef SBTPU_INT8
+  if (w.quant) {
+    alignas(64) uint8_t xq[1024];
+    for (int i = 0; i < f; ++i) {
+      const float sx = quantize_row_u8(x + i * m, m, xq);
+      gemv_q(xq, w, sx, bias, y + i * n, m, n);
+    }
+    return;
+  }
+#endif
+  matmul(x, w.data.data(), bias, y, f, m, n);
+}
+
+void mm_acc(const float* x, const Tensor& w, float* y, int f, int m, int n) {
+#ifdef SBTPU_INT8
+  if (w.quant) {
+    alignas(64) uint8_t xq[1024];
+    for (int i = 0; i < f; ++i) {
+      const float sx = quantize_row_u8(x + i * m, m, xq);
+      gemv_q(xq, w, sx, y + i * n, y + i * n, m, n);
+    }
+    return;
+  }
+#endif
+  matmul_acc(x, w.data.data(), y, f, m, n);
+}
+
+// LSTM cell with a Tensor recurrent matrix (int8 aware).
+void lstm_cell_t(float* __restrict gates, const Tensor& w_hh,
+                 float* __restrict h, float* __restrict c, int H) {
+#ifdef SBTPU_INT8
+  if (w_hh.quant) {
+    alignas(64) uint8_t xq[1024];
+    const float sx = quantize_row_u8(h, H, xq);
+    gemv_q(xq, w_hh, sx, gates, gates, H, 4 * H);
+    for (int j = 0; j < H; ++j) {
+      const float ig = sigmoidf(gates[j]);
+      const float fg = sigmoidf(gates[H + j]);
+      const float gg = fast_tanh(gates[2 * H + j]);
+      const float og = sigmoidf(gates[3 * H + j]);
+      c[j] = fg * c[j] + ig * gg;
+      h[j] = og * fast_tanh(c[j]);
+    }
+    return;
+  }
+#endif
+  lstm_cell(gates, w_hh.data.data(), h, c, H);
+}
+
 std::string json_str(const std::string& body, const std::string& key) {
   auto p = body.find("\"" + key + "\"");
   if (p == std::string::npos) return "";
@@ -270,6 +406,7 @@ Engine::Engine(const std::string& model_dir) {
   const bool v2 = std::memcmp(magic, "SBTW0002", 8) == 0;  // int8 weight-only
   if (!v2 && std::memcmp(magic, "SBTW0001", 8) != 0)
     throw std::runtime_error("bad weights magic");
+  quantized_ = v2;
   uint32_t count;
   wf.read(reinterpret_cast<char*>(&count), 4);
   for (uint32_t i = 0; i < count; ++i) {
@@ -299,10 +436,33 @@ Engine::Engine(const std::string& model_dir) {
     uint32_t nbytes;
     wf.read(reinterpret_cast<char*>(&nbytes), 4);
     if (dtype == 1) {
-      // symmetric per-output-channel int8 (minor dim) -> dequantize to f32
+      // symmetric per-output-channel int8 (minor dim)
       std::vector<int8_t> q(nbytes);
       wf.read(reinterpret_cast<char*>(q.data()), nbytes);
       const size_t n_out = scales.size();
+#ifdef SBTPU_INT8
+      // keep the quantized payload (vpdpbusd packing) for 2-D GEMV mats;
+      // dis_embed.proj is read elementwise in set_dis_embed -> dequantize
+      const bool pack = t.shape.size() == 2 && t.shape[1] % 16 == 0 &&
+                        static_cast<size_t>(t.shape[1]) == n_out &&
+                        name.rfind("dis_embed.", 0) != 0;
+      if (pack) {
+        const int M = t.shape[0], N = t.shape[1];
+        const int G = (M + 3) / 4;
+        t.quant = true;
+        t.qpack.assign(static_cast<size_t>(G) * N * 4, 0);
+        t.colsum.assign(N, 0);
+        t.scales = std::move(scales);
+        for (int k = 0; k < M; ++k)
+          for (int j = 0; j < N; ++j) {
+            const int8_t v = q[static_cast<size_t>(k) * N + j];
+            t.qpack[(static_cast<size_t>(k / 4) * N + j) * 4 + (k % 4)] = v;
+            t.colsum[j] += v;
+          }
+        w_[name] = std::move(t);
+        continue;
+      }
+#endif
       t.data.resize(nbytes);
       for (size_t e = 0; e < q.size(); ++e)
         t.data[e] = static_cast<float>(q[e]) * scales[e % n_out];
@@ -366,12 +526,12 @@ void Engine::precompute_film() {
   film_b_.assign((cfg_.B - 1) * F * D, 0.f);
   for (int b = 1; b < cfg_.B; ++b) {
     const std::string p = "film" + std::to_string(b - 1) + ".";
-    matmul(dis_embed_.data(), w_.at(p + "weight.kernel").data.data(),
-           w_.at(p + "weight.bias").data.data(),
-           film_w_.data() + (b - 1) * F * D, F, d_in, D);
-    matmul(dis_embed_.data(), w_.at(p + "bias.kernel").data.data(),
-           w_.at(p + "bias.bias").data.data(),
-           film_b_.data() + (b - 1) * F * D, F, d_in, D);
+    mm(dis_embed_.data(), w_.at(p + "weight.kernel"),
+       w_.at(p + "weight.bias").data.data(),
+       film_w_.data() + (b - 1) * F * D, F, d_in, D);
+    mm(dis_embed_.data(), w_.at(p + "bias.kernel"),
+       w_.at(p + "bias.bias").data.data(),
+       film_b_.data() + (b - 1) * F * D, F, d_in, D);
   }
 }
 
@@ -525,14 +685,14 @@ void Engine::step(const float* mix, float* out) {
       std::memcpy(z.data(), h.data(), F * D * sizeof(float));
       layer_norm(z.data(), w_.at(p + "intra.norm.scale").data.data(),
                  w_.at(p + "intra.norm.bias").data.data(), F, D);
-      matmul(z.data(), w_.at(p + "intra.blstm.fwd.w_ih").data.data(),
-             w_.at(p + "intra.blstm.fwd.b").data.data(), xp_f.data(), F, D,
-             4 * H);
-      matmul(z.data(), w_.at(p + "intra.blstm.bwd.w_ih").data.data(),
-             w_.at(p + "intra.blstm.bwd.b").data.data(), xp_b.data(), F, D,
-             4 * H);
-      const float* whh_f = w_.at(p + "intra.blstm.fwd.w_hh").data.data();
-      const float* whh_b = w_.at(p + "intra.blstm.bwd.w_hh").data.data();
+      mm(z.data(), w_.at(p + "intra.blstm.fwd.w_ih"),
+         w_.at(p + "intra.blstm.fwd.b").data.data(), xp_f.data(), F, D,
+         4 * H);
+      mm(z.data(), w_.at(p + "intra.blstm.bwd.w_ih"),
+         w_.at(p + "intra.blstm.bwd.b").data.data(), xp_b.data(), F, D,
+         4 * H);
+      const Tensor& whh_f = w_.at(p + "intra.blstm.fwd.w_hh");
+      const Tensor& whh_b = w_.at(p + "intra.blstm.bwd.w_hh");
       // the two directions are independent: run them concurrently when the
       // machine has spare cores; on a single hardware thread the async
       // spawn is pure overhead
@@ -541,7 +701,7 @@ void Engine::step(const float* mix, float* out) {
       auto run_fwd = [&] {
         float h1[512] = {0}, c1[512] = {0};
         for (int f = 0; f < F; ++f) {
-          lstm_cell(xp_f.data() + f * 4 * H, whh_f, h1, c1, H);
+          lstm_cell_t(xp_f.data() + f * 4 * H, whh_f, h1, c1, H);
           std::memcpy(y2h.data() + f * 2 * H, h1, H * sizeof(float));
         }
       };
@@ -550,7 +710,7 @@ void Engine::step(const float* mix, float* out) {
       if (parallel_dirs) {
         float h1[512] = {0}, c1[512] = {0};
         for (int f = F - 1; f >= 0; --f) {
-          lstm_cell(xp_b.data() + f * 4 * H, whh_b, h1, c1, H);
+          lstm_cell_t(xp_b.data() + f * 4 * H, whh_b, h1, c1, H);
           std::memcpy(y2h.data() + f * 2 * H + H, h1, H * sizeof(float));
         }
         fwd_job.wait();
@@ -561,44 +721,44 @@ void Engine::step(const float* mix, float* out) {
         float hf[512] = {0}, cf[512] = {0}, hb[512] = {0}, cb[512] = {0};
         for (int f = 0; f < F; ++f) {
           const int fb = F - 1 - f;
-          lstm_cell(xp_f.data() + f * 4 * H, whh_f, hf, cf, H);
-          lstm_cell(xp_b.data() + fb * 4 * H, whh_b, hb, cb, H);
+          lstm_cell_t(xp_f.data() + f * 4 * H, whh_f, hf, cf, H);
+          lstm_cell_t(xp_b.data() + fb * 4 * H, whh_b, hb, cb, H);
           std::memcpy(y2h.data() + f * 2 * H, hf, H * sizeof(float));
           std::memcpy(y2h.data() + fb * 2 * H + H, hb, H * sizeof(float));
         }
       }
-      matmul(y2h.data(), w_.at(p + "intra.proj.kernel").data.data(),
-             w_.at(p + "intra.proj.bias").data.data(), z.data(), F, 2 * H, D);
+      mm(y2h.data(), w_.at(p + "intra.proj.kernel"),
+         w_.at(p + "intra.proj.bias").data.data(), z.data(), F, 2 * H, D);
       for (int i = 0; i < F * D; ++i) h[i] += z[i];
     } else {
       const int s = cfg_.lstm_down;
       const int kk = F / s;
       // strided frame + down projection: [kk][s*D] @ [s*D][D]
       std::vector<float> down(kk * D);
-      matmul(h.data(), w_.at(p + "intra.down.kernel").data.data(),
-             w_.at(p + "intra.down.bias").data.data(), down.data(), kk,
-             s * D, D);
+      mm(h.data(), w_.at(p + "intra.down.kernel"),
+         w_.at(p + "intra.down.bias").data.data(), down.data(), kk,
+         s * D, D);
       prelu(down.data(), w_.at(p + "intra.act.alpha").data[0], kk * D);
       layer_norm(down.data(), w_.at(p + "intra.norm.scale").data.data(),
                  w_.at(p + "intra.norm.bias").data.data(), kk, D);
-      matmul(down.data(), w_.at(p + "intra.blstm.fwd.w_ih").data.data(),
-             w_.at(p + "intra.blstm.fwd.b").data.data(), xp_f.data(), kk, D,
-             4 * H);
-      matmul(down.data(), w_.at(p + "intra.blstm.bwd.w_ih").data.data(),
-             w_.at(p + "intra.blstm.bwd.b").data.data(), xp_b.data(), kk, D,
-             4 * H);
-      const float* whh_f = w_.at(p + "intra.blstm.fwd.w_hh").data.data();
-      const float* whh_b = w_.at(p + "intra.blstm.bwd.w_hh").data.data();
+      mm(down.data(), w_.at(p + "intra.blstm.fwd.w_ih"),
+         w_.at(p + "intra.blstm.fwd.b").data.data(), xp_f.data(), kk, D,
+         4 * H);
+      mm(down.data(), w_.at(p + "intra.blstm.bwd.w_ih"),
+         w_.at(p + "intra.blstm.bwd.b").data.data(), xp_b.data(), kk, D,
+         4 * H);
+      const Tensor& whh_f = w_.at(p + "intra.blstm.fwd.w_hh");
+      const Tensor& whh_b = w_.at(p + "intra.blstm.bwd.w_hh");
       std::fill(hh.begin(), hh.end(), 0.f);
       std::fill(cc.begin(), cc.end(), 0.f);
       for (int t = 0; t < kk; ++t) {
-        lstm_cell(xp_f.data() + t * 4 * H, whh_f, hh.data(), cc.data(), H);
+        lstm_cell_t(xp_f.data() + t * 4 * H, whh_f, hh.data(), cc.data(), H);
         std::memcpy(y2h.data() + t * 2 * H, hh.data(), H * sizeof(float));
       }
       std::fill(hh.begin(), hh.end(), 0.f);
       std::fill(cc.begin(), cc.end(), 0.f);
       for (int t = kk - 1; t >= 0; --t) {
-        lstm_cell(xp_b.data() + t * 4 * H, whh_b, hh.data(), cc.data(), H);
+        lstm_cell_t(xp_b.data() + t * 4 * H, whh_b, hh.data(), cc.data(), H);
         std::memcpy(y2h.data() + t * 2 * H + H, hh.data(), H * sizeof(float));
       }
       // transposed-conv upsample: out[t*s+j][c] = sum_h y[t][h] wu[h][j][c]
@@ -628,17 +788,17 @@ void Engine::step(const float* mix, float* out) {
     std::memcpy(z.data(), h.data(), F * D * sizeof(float));
     layer_norm(z.data(), w_.at(p + "inter_norm.scale").data.data(),
                w_.at(p + "inter_norm.bias").data.data(), F, D);
-    matmul(z.data(), w_.at(p + "inter_lstm.w_ih").data.data(),
-           w_.at(p + "inter_lstm.b").data.data(), xp_f.data(), F, D, 4 * H);
-    const float* whh = w_.at(p + "inter_lstm.w_hh").data.data();
+    mm(z.data(), w_.at(p + "inter_lstm.w_ih"),
+       w_.at(p + "inter_lstm.b").data.data(), xp_f.data(), F, D, 4 * H);
+    const Tensor& whh = w_.at(p + "inter_lstm.w_hh");
     // the F frequency lanes are independent: one [F,H]x[H,4H] GEMM for the
     // recurrent projection instead of F tiny GEMVs, then a vectorized
     // activation sweep
-    matmul_acc(h_[b].data(), whh, xp_f.data(), F, H, 4 * H);
+    mm_acc(h_[b].data(), whh, xp_f.data(), F, H, 4 * H);
     lstm_activate(xp_f.data(), h_[b].data(), c_[b].data(), F, H);
     // reuse y2h as [F][H] holder of new hidden states
-    matmul(h_[b].data(), w_.at(p + "inter_proj.kernel").data.data(),
-           w_.at(p + "inter_proj.bias").data.data(), z.data(), F, H, D);
+    mm(h_[b].data(), w_.at(p + "inter_proj.kernel"),
+       w_.at(p + "inter_proj.bias").data.data(), z.data(), F, H, D);
     for (int i = 0; i < F * D; ++i) h[i] += z[i];
 
     // local causal attention (model.py GridNetBlock use_attn branch):

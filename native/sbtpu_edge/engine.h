@@ -25,6 +25,13 @@ namespace sbtpu {
 struct Tensor {
   std::vector<int> shape;
   std::vector<float> data;
+  // int8 fast path (SBTW0002 blobs on VNNI-capable hosts): 2-D mats keep the
+  // quantized payload packed for vpdpbusd (K-groups of 4 interleaved per
+  // output column) instead of dequantizing; `data` stays empty then.
+  bool quant = false;
+  std::vector<int8_t> qpack;    // [(M+3)/4][N][4] byte layout
+  std::vector<float> scales;    // per-output-column (minor dim)
+  std::vector<int32_t> colsum;  // per-column sum of q (u8 zero-point fixup)
   int64_t size() const {
     int64_t n = 1;
     for (int d : shape) n *= d;
@@ -66,6 +73,10 @@ class Engine {
   // model_dir holds weights.bin + model_config.json
   explicit Engine(const std::string& model_dir);
 
+  // true when the loaded blob carries int8 weights (SBTW0002): outputs then
+  // drift from the f32 reference by quantization error, not by bugs.
+  bool quantized() const { return quantized_; }
+
   // Set the bubble radius one-hot (len-3) conditioning; precomputes the
   // FiLM scales. Call before streaming (default 1 m = {0,0,1}).
   void set_dis_embed(const float* one_hot, int len);
@@ -84,6 +95,7 @@ class Engine {
   void precompute_film();
 
   Config cfg_;
+  bool quantized_ = false;
   std::map<std::string, Tensor> w_;
 
   // filterbank: [2F][K] analysis/synthesis matrix

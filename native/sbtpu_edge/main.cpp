@@ -123,6 +123,12 @@ int main(int argc, char** argv) {
   for (size_t i = 0; i < est.size(); ++i)
     max_err = std::max(max_err, std::abs(est[i] - Y[i]));
   std::cout << "max |err| vs JAX streaming output: " << max_err << "\n";
+  // quantized blobs drift from the f32 reference by design (the same ~1e-2
+  // envelope as torch's dynamic-quantized LSTM); correctness for them is
+  // bounded by tests/test_native.py's drift/correlation checks
+  const float tol = engine.quantized() ? 5e-2f : 1e-3f;
+  if (engine.quantized())
+    std::cout << "(int8 blob: conformance tolerance " << tol << ")\n";
 
   // timing: repeated single-chunk steps (state feedback, like deployment)
   engine.reset();
@@ -134,7 +140,7 @@ int main(int argc, char** argv) {
   std::cout << "native per-chunk: " << ms << " ms (" << chunk / 24.0
             << " ms audio, RTF " << (chunk / 24.0) / ms << "x)\n";
 
-  if (max_err > 1e-3) {
+  if (max_err > tol) {
     std::cout << "CONFORMANCE: FAIL\n";
     return 1;
   }

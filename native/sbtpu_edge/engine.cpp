@@ -51,6 +51,56 @@ inline float sigmoidf(float x) { return 0.5f * fast_tanh(0.5f * x) + 0.5f; }
 
 #if defined(__AVX512F__)
 #include <immintrin.h>
+
+// 16-lane fast_tanh (same rational polynomial as the scalar form above, so
+// vector and scalar paths stay bit-identical per lane)
+inline __m512 tanh_v(__m512 x) {
+  const __m512 cap = _mm512_set1_ps(7.90531110763549805f);
+  x = _mm512_min_ps(_mm512_max_ps(x, _mm512_sub_ps(_mm512_setzero_ps(), cap)),
+                    cap);
+  const __m512 x2 = _mm512_mul_ps(x, x);
+  __m512 p = _mm512_set1_ps(-2.76076847742355e-16f);
+  p = _mm512_fmadd_ps(p, x2, _mm512_set1_ps(2.00018790482477e-13f));
+  p = _mm512_fmadd_ps(p, x2, _mm512_set1_ps(-8.60467152213735e-11f));
+  p = _mm512_fmadd_ps(p, x2, _mm512_set1_ps(5.12229709037114e-08f));
+  p = _mm512_fmadd_ps(p, x2, _mm512_set1_ps(1.48572235717979e-05f));
+  p = _mm512_fmadd_ps(p, x2, _mm512_set1_ps(6.37261928875436e-04f));
+  p = _mm512_fmadd_ps(p, x2, _mm512_set1_ps(4.89352455891786e-03f));
+  p = _mm512_mul_ps(p, x);
+  __m512 q = _mm512_set1_ps(1.19825839466702e-06f);
+  q = _mm512_fmadd_ps(q, x2, _mm512_set1_ps(1.18534705686654e-04f));
+  q = _mm512_fmadd_ps(q, x2, _mm512_set1_ps(2.26843463243900e-03f));
+  q = _mm512_fmadd_ps(q, x2, _mm512_set1_ps(4.89352518554385e-03f));
+  return _mm512_div_ps(p, q);
+}
+
+inline __m512 sigmoid_v(__m512 x) {
+  const __m512 half = _mm512_set1_ps(0.5f);
+  return _mm512_fmadd_ps(tanh_v(_mm512_mul_ps(half, x)), half, half);
+}
+
+// vectorized LSTM gate sweep: gates[4H] (i,f,g,o blocks) + state h,c[H].
+// Requires H % 16 == 0 (returns false otherwise -> scalar fallback).
+inline bool lstm_gates_v(float* __restrict gates, float* __restrict h,
+                         float* __restrict c, int H) {
+  if (H % 16 != 0) return false;
+  for (int j = 0; j < H; j += 16) {
+    const __m512 ig = sigmoid_v(_mm512_loadu_ps(gates + j));
+    const __m512 fg = sigmoid_v(_mm512_loadu_ps(gates + H + j));
+    const __m512 gg = tanh_v(_mm512_loadu_ps(gates + 2 * H + j));
+    const __m512 og = sigmoid_v(_mm512_loadu_ps(gates + 3 * H + j));
+    const __m512 cn = _mm512_fmadd_ps(fg, _mm512_loadu_ps(c + j),
+                                      _mm512_mul_ps(ig, gg));
+    _mm512_storeu_ps(c + j, cn);
+    _mm512_storeu_ps(h + j, _mm512_mul_ps(og, tanh_v(cn)));
+  }
+  return true;
+}
+#else
+inline bool lstm_gates_v(float*, float*, float*, int) { return false; }
+#endif
+
+#if defined(__AVX512F__)
 // One output row y[NV*16] = init + x[m] @ w[m][NV*16], with the WHOLE row
 // held in zmm registers across the k loop (the scalar form re-streams the
 // accumulator row through L1 on every k — 3 memory ops per FMA; this does 1).
@@ -248,6 +298,7 @@ void lstm_activate(float* __restrict gates, float* __restrict h,
     float* g = gates + r * 4 * H;
     float* hr = h + r * H;
     float* cr = c + r * H;
+    if (lstm_gates_v(g, hr, cr, H)) continue;
     for (int j = 0; j < H; ++j) {
       const float ig = sigmoidf(g[j]);
       const float fg = sigmoidf(g[H + j]);
@@ -321,6 +372,7 @@ void lstm_cell_t(float* __restrict gates, const Tensor& w_hh,
     alignas(64) uint8_t xq[1024];
     const float sx = quantize_row_u8(h, H, xq);
     gemv_q(xq, w_hh, sx, gates, gates, H, 4 * H);
+    if (lstm_gates_v(gates, h, c, H)) return;
     for (int j = 0; j < H; ++j) {
       const float ig = sigmoidf(gates[j]);
       const float fg = sigmoidf(gates[H + j]);

@@ -204,7 +204,7 @@ def main(args):
             t_window = time.time()
             rec = dict(step=step + 1, train_loss=round(lval, 4),
                        train_sisdri=round(float(sisdri), 3),
-                       lr=module.optimizer.lr,
+                       lr=float(module.optimizer.lr),
                        samples_per_sec=round(sps, 2),
                        elapsed_min=round((time.time() - t_start) / 60, 1))
             print(json.dumps(rec), flush=True)
@@ -229,7 +229,7 @@ def main(args):
                 tag = ""
             rec = dict(step=step + 1, val_loss=round(val_loss, 4),
                        val_sisdri=round(val_sisdri, 3),
-                       lr=module.optimizer.lr)
+                       lr=float(module.optimizer.lr))
             print(json.dumps(rec) + tag, flush=True)
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--snr_max", type=float, default=5.0)
     p.add_argument("--max_order_min", type=int, default=10)
     p.add_argument("--max_order_max", type=int, default=40)
+    p.add_argument("--voice", default="formant",
+                   choices=("formant", "harmonic"),
+                   help="source model (formant = datagen.voice, round 3; "
+                        "harmonic = round-2 quasi-speech)")
     args = p.parse_args()
 
     from sound_bubble_tpu.datagen.generate import generate_sample
@@ -39,7 +43,11 @@ def main():
                      "make_test_samples.py"))
     mts = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mts)
-    speechlike = mts.speechlike
+    if args.voice == "formant":
+        from sound_bubble_tpu.datagen.voice import formant_speechlike
+        speechlike = formant_speechlike
+    else:
+        speechlike = mts.speechlike
 
     radii = {"syn_1m": 1.0, "syn_1_5m": 1.5, "syn_2m": 2.0}
     n_samp = int(args.duration * args.sr)

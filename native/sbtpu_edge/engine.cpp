@@ -335,11 +335,22 @@ void lstm_cell(float* __restrict gates, const float* __restrict w_hh,
 
 // Tensor-aware dispatchers: int8 fast path when the tensor kept its
 // quantized payload, f32 otherwise. Shapes as in matmul()/matmul_acc().
+// quantize_row_u8 writes (m+3)&~3 bytes; rows beyond the stack scratch go
+// to a heap buffer instead of smashing the stack (m is config-driven:
+// e.g. conv_lstm down-proj m = lstm_down*D, intra proj m = 2H).
+constexpr int kQuantStackBytes = 1024;
+
 void mm(const float* x, const Tensor& w, const float* bias, float* y,
         int f, int m, int n) {
 #ifdef SBTPU_INT8
   if (w.quant) {
-    alignas(64) uint8_t xq[1024];
+    alignas(64) uint8_t xq_s[kQuantStackBytes];
+    std::vector<uint8_t> xq_h;
+    uint8_t* xq = xq_s;
+    if (((m + 3) & ~3) > kQuantStackBytes) {
+      xq_h.resize((m + 3) & ~3);
+      xq = xq_h.data();
+    }
     for (int i = 0; i < f; ++i) {
       const float sx = quantize_row_u8(x + i * m, m, xq);
       gemv_q(xq, w, sx, bias, y + i * n, m, n);
@@ -353,7 +364,13 @@ void mm(const float* x, const Tensor& w, const float* bias, float* y,
 void mm_acc(const float* x, const Tensor& w, float* y, int f, int m, int n) {
 #ifdef SBTPU_INT8
   if (w.quant) {
-    alignas(64) uint8_t xq[1024];
+    alignas(64) uint8_t xq_s[kQuantStackBytes];
+    std::vector<uint8_t> xq_h;
+    uint8_t* xq = xq_s;
+    if (((m + 3) & ~3) > kQuantStackBytes) {
+      xq_h.resize((m + 3) & ~3);
+      xq = xq_h.data();
+    }
     for (int i = 0; i < f; ++i) {
       const float sx = quantize_row_u8(x + i * m, m, xq);
       gemv_q(xq, w, sx, y + i * n, y + i * n, m, n);
@@ -369,7 +386,13 @@ void lstm_cell_t(float* __restrict gates, const Tensor& w_hh,
                  float* __restrict h, float* __restrict c, int H) {
 #ifdef SBTPU_INT8
   if (w_hh.quant) {
-    alignas(64) uint8_t xq[1024];
+    alignas(64) uint8_t xq_s[kQuantStackBytes];
+    std::vector<uint8_t> xq_h;
+    uint8_t* xq = xq_s;
+    if (((H + 3) & ~3) > kQuantStackBytes) {
+      xq_h.resize((H + 3) & ~3);
+      xq = xq_h.data();
+    }
     const float sx = quantize_row_u8(h, H, xq);
     gemv_q(xq, w_hh, sx, gates, gates, H, 4 * H);
     if (lstm_gates_v(gates, h, c, H)) return;
@@ -864,8 +887,10 @@ void Engine::step(const float* mix, float* out) {
         // h[F][D] -> heads[L][F*e] (f-major, e-minor per head), LN per head
         const std::string q = p + name;
         std::vector<float> zz(F * L * e);
-        matmul(h.data(), w_.at(q + ".proj.kernel").data.data(),
-               w_.at(q + ".proj.bias").data.data(), zz.data(), F, D, L * e);
+        // Tensor-aware mm(): the proj kernels hit the int8 pack condition
+        // (shape[1] = L*e or D, %16==0) — raw w.data would be empty
+        mm(h.data(), w_.at(q + ".proj.kernel"),
+           w_.at(q + ".proj.bias").data.data(), zz.data(), F, D, L * e);
         prelu(zz.data(), w_.at(q + ".act.alpha").data[0], F * L * e);
         for (int l = 0; l < L; ++l)
           for (int f = 0; f < F; ++f)
@@ -922,8 +947,8 @@ void Engine::step(const float* mix, float* out) {
       }
       // out projection + PReLU + LayerNorm over the flattened F*D vector
       std::vector<float> o2(size_t(F) * D);
-      matmul(o.data(), w_.at(p + "attn_out_proj.kernel").data.data(),
-             w_.at(p + "attn_out_proj.bias").data.data(), o2.data(), F, D, D);
+      mm(o.data(), w_.at(p + "attn_out_proj.kernel"),
+         w_.at(p + "attn_out_proj.bias").data.data(), o2.data(), F, D, D);
       prelu(o2.data(), w_.at(p + "attn_out_act.alpha").data[0], F * D);
       layer_norm(o2.data(), w_.at(p + "attn_out_norm.scale").data.data(),
                  w_.at(p + "attn_out_norm.bias").data.data(), 1, F * D);

@@ -280,11 +280,13 @@ def speechlike_voices(key, batch_shape, n: int, sr: int) -> jnp.ndarray:
 # ------------------------------------------------------- batch assembly ----
 
 def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
-               snr_range=(-10.0, 5.0)):
+               snr_range=(-10.0, 5.0), voice: str = "formant"):
     """One training batch from the pool, fully on device.
 
     idx: [B] int32 scenario indices. Returns (inputs, targets) with
     inputs {mixture [B,6,T], dis_embed [B,3]}, targets {target [B,1,T]}.
+    voice: "formant" (Klatt-style glottal-pulse + formant sources,
+    datagen.voice) or "harmonic" (the round-2 5-harmonic quasi-speech).
     """
     kv, kp, ks = jax.random.split(key, 3)
     rirs = pool["rirs"][idx].astype(jnp.float32)   # [B, S, M, L]
@@ -292,7 +294,11 @@ def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
     near_mask = pool["near_mask"][idx]
     b, s = active.shape
 
-    voices = speechlike_voices(kv, (b, s), n_samples, sr)
+    if voice == "formant":
+        from sound_bubble_tpu.datagen.voice import formant_voices
+        voices = formant_voices(kv, (b, s), n_samples, sr)
+    else:
+        voices = speechlike_voices(kv, (b, s), n_samples, sr)
     premix = fft_conv(voices[:, :, None, :], rirs,
                       mode="full")[..., :n_samples]   # [B, S, M, T]
     # per-source peak scaling U(0.5,0.9) (reference `:476-487`)

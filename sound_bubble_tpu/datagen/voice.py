@@ -1,0 +1,150 @@
+"""Formant-filtered glottal-pulse voice model (jit-able, batched).
+
+Round 2 trained on 5-harmonic quasi-speech (`datagen.campaign.speechlike_voices`)
+and STOI — which keys on 1/3-octave *envelope* structure of real speech —
+degraded through the model. This source model closes that gap with the
+classic Klatt-style parallel-formant synthesis chain, built entirely from
+XLA-friendly ops (cumsum, rfft/irfft, interp — no data-dependent control
+flow), so it runs inside the jitted campaign train step:
+
+1. a syllable track (~5 syll/s slots; voiced / unvoiced / pause types) with
+   per-syllable F0, formant (F1-F3) and amplitude targets, linearly
+   interpolated between syllable centers (articulator-like trajectories) and
+   smoothed at ~35 ms (raised-cosine onsets/offsets);
+2. excitation: a glottal impulse train from the running phase of the
+   jittered F0 contour (period jitter + slow declination), plus aspiration
+   noise when voiced and full noise when unvoiced;
+3. time-varying spectral envelope applied frame-wise (20 ms sqrt-Hann STFT,
+   75% overlap): sum of three Lorentzian formant resonances with a -6 dB/oct
+   glottal tilt when voiced, blended with a high-frequency fricative
+   envelope when unvoiced;
+4. random leading silence (reference `load_voice_clip`'s zero_front,
+   `/root/reference/src/generate_adaptive_dataset.py` U(4000,64000)@48 kHz),
+   noise floor, peak normalization.
+
+The result has realistic modulation spectra (3-6 Hz syllabic energy, pitch
+declination, voiced/unvoiced alternation) — the properties STOI and the
+separation model actually key on.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sound_bubble_tpu.ops.stft import frame, overlap_add
+
+
+def _smooth(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Hann-kernel smoothing of a 1-D track (edge-padded)."""
+    w = np.hanning(k + 2)[1:-1]
+    w = (w / w.sum()).astype(np.float32)
+    xp = jnp.pad(x, (k // 2, k - 1 - k // 2), mode="edge")
+    return sum(float(w[i]) * xp[i:i + x.shape[0]] for i in range(k))
+
+
+def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int):
+    ks = jax.random.split(key, 12)
+    f32 = jnp.float32
+
+    # --- syllable plan ---
+    dur = jax.random.uniform(ks[0], (S,), minval=0.08, maxval=0.25)
+    bounds = jnp.cumsum(dur)
+    centers = bounds - dur / 2
+    u = jax.random.uniform(ks[1], (S,))
+    is_pause = u < 0.20
+    is_unv = (u >= 0.20) & (u < 0.36)
+    voiced_s = ((~is_pause) & (~is_unv)).astype(f32)
+
+    f0_base = jax.random.uniform(ks[2], (), minval=95.0, maxval=240.0)
+    f0_s = f0_base * 2.0 ** jax.random.uniform(
+        ks[3], (S,), minval=-0.3, maxval=0.2)
+    # pitch declination over the utterance (~ -2.5 semitones end to end)
+    f0_s = f0_s * 2.0 ** (-0.2 * centers / (bounds[-1] + 1e-6))
+    F1_s = jax.random.uniform(ks[4], (S,), minval=300.0, maxval=850.0)
+    F2_s = jax.random.uniform(ks[5], (S,), minval=950.0, maxval=2400.0)
+    F3_s = jax.random.uniform(ks[6], (S,), minval=2350.0, maxval=3100.0)
+    amp_s = jax.random.uniform(ks[7], (S,), minval=0.55, maxval=1.0) \
+        * (1.0 - is_pause.astype(f32))
+
+    # --- frame tracks (hop-rate) ---
+    nf = n // hop + 5
+    ft = (jnp.arange(nf, dtype=f32) + 0.5) * hop / sr
+    f0_f = jnp.interp(ft, centers, f0_s)
+    F1_f = jnp.interp(ft, centers, F1_s)
+    F2_f = jnp.interp(ft, centers, F2_s)
+    F3_f = jnp.interp(ft, centers, F3_s)
+    idx = jnp.clip(jnp.searchsorted(bounds, ft), 0, S - 1)
+    amp_f = _smooth(amp_s[idx], 9)          # ~45 ms raised-cosine on/offsets
+    voiced_f = _smooth(voiced_s[idx], 9)
+
+    # --- sample-rate excitation ---
+    st = jnp.arange(n, dtype=f32) / sr
+    f0_n = jnp.interp(st, ft, f0_f)
+    jitter = _smooth(jax.random.normal(ks[8], (nf,)), 15)
+    f0_n = f0_n * (1.0 + 0.03 * jnp.interp(st, ft, jitter))
+    amp_n = jnp.interp(st, ft, amp_f)
+    voiced_n = jnp.interp(st, ft, voiced_f)
+    phase = jnp.cumsum(f0_n) / sr
+    fr = phase - jnp.floor(phase)
+    # unit-power impulse train: amplitude sqrt(sr/f0) (one pulse per period)
+    pulse = (jnp.diff(fr, prepend=jnp.zeros((1,), f32)) < 0).astype(f32) \
+        * jnp.sqrt(sr / jnp.maximum(f0_n, 1.0))
+    noise = jax.random.normal(ks[9], (n,))
+    exc = pulse * voiced_n * amp_n \
+        + noise * amp_n * (0.35 * (1.0 - voiced_n) + 0.04 * voiced_n)
+
+    # --- frame-wise formant filtering (sqrt-Hann analysis+synthesis OLA) ---
+    w = jnp.asarray(np.hanning(win + 1)[:-1].astype(np.float32) ** 0.5)
+    tot = (nf - 1) * hop + win
+    frames = frame(jnp.pad(exc, (0, tot - n)), win, hop) * w  # [nf, win]
+    spec = jnp.fft.rfft(frames)
+    freqs = jnp.asarray((np.fft.rfftfreq(win) * sr).astype(np.float32))
+
+    def reso(fc, bw):
+        return (bw * bw) / (jnp.square(freqs[None] - fc[:, None]) + bw * bw)
+
+    # glottal + radiation tilt: ~ -11 dB/oct above 700 Hz (long-term speech
+    # spectrum falls ~ -12 dB/oct above 500 Hz)
+    tilt = (1.0 + jnp.square(freqs / 700.0)) ** -0.9
+    Hv = (1.0 * reso(F1_f, 80.0) + 0.5 * reso(F2_f, 120.0)
+          + 0.3 * reso(F3_f, 180.0) + 0.005) * tilt[None]
+    # fricative band 2-8 kHz (gentle roll-off past 8 kHz)
+    Huv = 0.25 * (jnp.square(freqs / 3000.0)
+                  / (1.0 + jnp.square(freqs / 3000.0) ** 2))[None] + 0.004
+    H = voiced_f[:, None] * Hv + (1.0 - voiced_f[:, None]) * Huv
+    y = overlap_add(jnp.fft.irfft(spec * H, n=win) * w, hop)[:n] / 1.5
+
+    # --- leading silence + floor + peak norm ---
+    lo = int(0.083 * sr)
+    hi = max(int(min(1.33 * sr, 0.4 * n)), lo + 1)
+    zs = jax.random.randint(ks[10], (), lo, hi)
+    y = jnp.where(jnp.arange(n) < zs, 0.0, y)
+    y = y + 0.0007 * jax.random.normal(ks[11], (n,))
+    return y / (jnp.max(jnp.abs(y)) + 1e-9)
+
+
+@functools.partial(jax.jit, static_argnames=("batch_shape", "n", "sr"))
+def formant_voices(key, batch_shape, n: int, sr: int) -> jnp.ndarray:
+    """Batched formant voices: [*batch_shape, n] float32."""
+    bs = tuple(batch_shape)
+    m = int(np.prod(bs)) if bs else 1
+    keys = jax.random.split(key, m)
+    hop = max(sr // 200, 1)          # 5 ms
+    win = 4 * hop                    # 20 ms, 75% overlap
+    S = int(n / sr * 5) + 2          # syllable slots
+    out = jax.vmap(lambda k: _one_voice(k, n, sr, hop, win, S))(keys)
+    return out.reshape(bs + (n,))
+
+
+def formant_speechlike(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
+    """numpy-facing single-clip wrapper (host eval-set generators): same
+    synthesis, run on the CPU backend so it never contends with a TPU
+    campaign."""
+    seed = int(rng.integers(0, 2 ** 31 - 1))
+    with jax.default_device(jax.devices("cpu")[0]):
+        y = formant_voices(jax.random.PRNGKey(seed), (1,), n, sr)
+        return np.asarray(y[0], dtype=np.float64)

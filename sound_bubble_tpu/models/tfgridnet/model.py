@@ -145,9 +145,14 @@ class LayerNorm(nn.Module):
     def __call__(self, x):
         g = self.param("scale", nn.initializers.ones, (self.dim,))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-        return (x - mu) * jax.lax.rsqrt(var + self.eps) * g + b
+        # stats in fp32 even under bf16 mixed precision (mean/var of bf16
+        # activations lose ~2 digits; the normalize is VPU-bound anyway)
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + self.eps) * g.astype(jnp.float32) \
+            + b.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 class Linear(nn.Module):
@@ -443,12 +448,16 @@ class Net(nn.Module):
 
     def _core(self, x, emb, state):
         cfg = self.cfg
-        fb = make_stft(cfg.n_fft, cfg.stft_chunk_size, dtype=x.dtype)
+        # STFT front-end + spatial features run fp32 even under bf16 mixed
+        # precision: the log-ratio ILD/IPD features amplify bf16 rounding on
+        # near-silent bins, and this path is a sliver of total FLOPs. The
+        # GridNet trunk (where the matmuls are) keeps x.dtype.
+        fb = make_stft(cfg.n_fft, cfg.stft_chunk_size, dtype=jnp.float32)
         F = cfg.n_freqs
         B = x.shape[0]
         next_state = dict(state)
 
-        spec = stft(fb, x)                           # [B, M, T, 2F]
+        spec = stft(fb, x.astype(jnp.float32))       # [B, M, T, 2F] fp32
         T = spec.shape[2]
         real, imag = spec[..., :F], spec[..., F:]
 
@@ -459,6 +468,7 @@ class Net(nn.Module):
             feat = jnp.concatenate([base, feats], axis=-1)
         else:
             feat = base
+        feat = feat.astype(x.dtype)
 
         full = jnp.concatenate([state["conv_buf"], feat], axis=1)
         next_state["conv_buf"] = full[:, -2:]
@@ -478,6 +488,7 @@ class Net(nn.Module):
         full = jnp.concatenate([state["deconv_buf"], h], axis=1)
         next_state["deconv_buf"] = full[:, -2:]
         out = CausalDeconv2d(cfg.num_src * 2, name="deconv")(full)
+        out = out.astype(jnp.float32)    # iSTFT back-end in fp32 (see above)
         out = out.reshape(B, T, F, cfg.num_src, 2)
         # -> [B, n_srcs, T, 2F] (real rows then imag, like the input spec)
         est = jnp.concatenate(

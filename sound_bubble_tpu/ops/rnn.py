@@ -49,8 +49,18 @@ def init_lstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
 
 
 def _cell(h, c, gates_x, w_hh, hidden):
-    """One LSTM step. gates_x = x@W_ih + b precomputed. [B..., 4H]."""
-    gates = gates_x + h @ w_hh
+    """One LSTM step. gates_x = x@W_ih + b precomputed. [B..., 4H].
+
+    Mixed precision: when the weights are bf16 but the carry is fp32, the
+    recurrence matmul runs on the MXU in bf16 with fp32 accumulation while
+    the gate nonlinearities and the (h, c) carry stay fp32 — the cell state
+    is a long-horizon accumulator and loses training signal in bf16.
+    """
+    if w_hh.dtype != h.dtype:
+        gates = gates_x.astype(jnp.float32) + jnp.matmul(
+            h.astype(w_hh.dtype), w_hh, preferred_element_type=jnp.float32)
+    else:
+        gates = gates_x + h @ w_hh
     i = jax.nn.sigmoid(gates[..., :hidden])
     f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
     g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
@@ -76,27 +86,32 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False,
     hidden = params["w_hh"].shape[0]
     gates_x = x @ params["w_ih"] + params["b"]  # [..., T, 4H] one big matmul
     lead = x.shape[:-2]
+    mixed = params["w_hh"].dtype == jnp.bfloat16
+    carry_dtype = jnp.float32 if mixed else x.dtype
+    state_dtype = x.dtype if h0 is None else h0.dtype
     if h0 is None:
-        h0 = jnp.zeros(lead + (hidden,), x.dtype)
+        h0 = jnp.zeros(lead + (hidden,), carry_dtype)
     if c0 is None:
-        c0 = jnp.zeros(lead + (hidden,), x.dtype)
+        c0 = jnp.zeros(lead + (hidden,), carry_dtype)
+    h0, c0 = h0.astype(carry_dtype), c0.astype(carry_dtype)
 
     if x.shape[-2] == 1:
         # streaming fast path: a single cell update, no scan machinery
         h1, c1 = _cell(h0, c0, gates_x[..., 0, :], params["w_hh"], hidden)
-        return h1[..., None, :], (h1, c1)
+        return (h1.astype(x.dtype)[..., None, :],
+                (h1.astype(state_dtype), c1.astype(state_dtype)))
 
     def step(carry, gx):
         h, c = carry
         h, c = _cell(h, c, gx, params["w_hh"], hidden)
-        return (h, c), h
+        return (h, c), h.astype(x.dtype)
 
     unroll = _UNROLL if unroll is None else unroll
     gx_t = jnp.moveaxis(gates_x, -2, 0)  # [T, ..., 4H] scan-major
     (hT, cT), ys = jax.lax.scan(step, (h0, c0), gx_t, reverse=reverse,
                                 unroll=min(unroll, x.shape[-2]))
     y = jnp.moveaxis(ys, 0, -2)
-    return y, (hT, cT)
+    return y, (hT.astype(state_dtype), cT.astype(state_dtype))
 
 
 def init_blstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
@@ -133,18 +148,25 @@ def blstm(params, x, unroll: int | None = None):
     gates_x = jnp.einsum("d...tc,dch->d...th", xx, w_ih) + \
         b.reshape((2,) + (1,) * (x.ndim - 1) + (4 * hidden,))
     lead = xx.shape[:-2]
-    h0 = jnp.zeros(lead + (hidden,), x.dtype)
+    mixed = w_hh.dtype == jnp.bfloat16
+    carry_dtype = jnp.float32 if mixed else x.dtype
+    h0 = jnp.zeros(lead + (hidden,), carry_dtype)
 
     def step(carry, gx):
         h, c = carry
-        gates = gx + jnp.einsum("d...h,dhk->d...k", h, w_hh)
+        if mixed:
+            gates = gx.astype(jnp.float32) + jnp.einsum(
+                "d...h,dhk->d...k", h.astype(w_hh.dtype), w_hh,
+                preferred_element_type=jnp.float32)
+        else:
+            gates = gx + jnp.einsum("d...h,dhk->d...k", h, w_hh)
         i = jax.nn.sigmoid(gates[..., :hidden])
         f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
         g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
         o = jax.nn.sigmoid(gates[..., 3 * hidden:])
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        return (h, c), h
+        return (h, c), h.astype(x.dtype)
 
     unroll = _UNROLL if unroll is None else unroll
     gx_t = jnp.moveaxis(gates_x, -2, 0)               # [T, 2, ..., 4H]

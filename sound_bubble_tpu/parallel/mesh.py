@@ -53,7 +53,19 @@ def shard_batch(batch, mesh: Mesh):
         if n_proc > 1:
             if x.ndim >= 1 and x.shape[0] % n == 0:
                 return jax.make_array_from_process_local_data(bs, x)
-            # replicated leaf: every process must pass identical data
+            # replicated leaf: every process must pass identical data —
+            # a divergent per-host leaf yields a silently inconsistent
+            # "replicated" global array (ADVICE r2 #4), so warn as loudly
+            # as the single-host path does.
+            key = (x.shape[0] if x.ndim else 0, n, "mh")
+            if x.ndim >= 1 and key not in _warned_replication:
+                _warned_replication.add(key)
+                warnings.warn(
+                    f"shard_batch (multi-host): leading dim {x.shape[0]} "
+                    f"does not divide the {n} local devices — REPLICATING; "
+                    "every process MUST pass identical data for this leaf "
+                    "(use pad_batch() to pad-and-mask instead).",
+                    stacklevel=3)
             return jax.make_array_from_process_local_data(rep, x)
         if x.ndim >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, bs)

@@ -226,6 +226,12 @@ class PLModule:
             from jax.experimental import multihost_utils
             monitor_last = float(np.mean(multihost_utils.process_allgather(
                 np.float32(monitor_last))))
+            # store the GLOBAL average back into this epoch's history so
+            # later epochs' best-checkpoint comparisons are global-vs-global
+            # (host-local averages differ when val shards differ in
+            # difficulty — ADVICE r2 #3)
+            entry = self.metric_values[self.epoch][self.monitor]
+            entry["epoch"] = monitor_last * entry["num_elements"]
 
         save = best_path is not None
         for epoch in range(len(self.metric_values) - 1):

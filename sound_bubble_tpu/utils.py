@@ -97,6 +97,18 @@ def import_attr(import_path: str):
     return getattr(importlib.import_module(module), attr)
 
 
+def cast_bf16(tree):
+    """Cast every fp32 leaf of a pytree to bfloat16 (mixed-precision forward:
+    fp32 master params stay outside; the LSTM carry and LayerNorm stats stay
+    fp32 inside — see ops/rnn._cell and models.tfgridnet.LayerNorm)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+
+
 class Params:
     """JSON config with attribute access (reference `Params`)."""
 

@@ -119,11 +119,19 @@ def main(args):
     def batch_loss(params, key, pool_, idx):
         inputs, targets = campaign.make_batch(
             key, pool_, idx, n_samples=n_samples, sr=sr,
-            snr_range=(args.snr_min, args.snr_max))
+            snr_range=(args.snr_min, args.snr_max), voice=args.voice)
         model_in = {"mixture": inputs["mixture"]}
         if getattr(net.cfg, "conditional", True):
             model_in["dis_embed"] = inputs["dis_embed"]
-        est = net.apply({"params": params}, model_in)["output"]
+        if args.bf16:
+            # mixed precision: bf16 activations/weights on the MXU, fp32
+            # master params + loss (grads arrive fp32 through the cast)
+            import sound_bubble_tpu.utils as utils
+            model_in = utils.cast_bf16(model_in)
+            est = net.apply({"params": utils.cast_bf16(params)},
+                            model_in)["output"].astype(jnp.float32)
+        else:
+            est = net.apply({"params": params}, model_in)["output"]
         gt = targets["target"]
         per = jnp.atleast_1d(loss_fn(est=est, gt=gt))
         loss = jnp.mean(per)
@@ -263,6 +271,14 @@ if __name__ == "__main__":
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pool_bf16", action="store_true",
                    help="store the RIR pool in bf16 (halves HBM)")
+    p.add_argument("--voice", default="formant",
+                   choices=("formant", "harmonic"),
+                   help="source model: Klatt-style formant voices (round 3) "
+                        "or the round-2 harmonic quasi-speech")
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="mixed-precision train step (bf16 activations, "
+                        "fp32 master params/LSTM carry/loss)")
     p.add_argument("--pool_cache", default=None,
                    help="directory for cached scenario pools (npz)")
     p.add_argument("--cpu", action="store_true",

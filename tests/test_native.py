@@ -80,10 +80,15 @@ def test_native_matches_jax(native_lib, tmp_path, variant, rng):
     np.testing.assert_allclose(out, ref[0], atol=2e-5)
 
 
-def test_int8_quantized_blob_drift(native_lib, tmp_path, rng):
+@pytest.mark.parametrize("variant", ["plain", "attn"])
+def test_int8_quantized_blob_drift(native_lib, tmp_path, rng, variant):
     """int8 weight-only export (reference dynamic-quantization analog,
     `to_onnx.py:150-160`): the native engine must accept the SBTW0002 blob
-    and its streaming output must stay close to the fp32 engine."""
+    and its streaming output must stay close to the fp32 engine.
+
+    The attn variant pins ADVICE r2 #1: attn_v.proj / attn_out_proj kernels
+    hit the int8 pack condition and must route through the Tensor-aware
+    mm() dispatcher (raw w.data is empty for packed tensors)."""
     import jax
     import jax.numpy as jnp
 
@@ -95,6 +100,8 @@ def test_int8_quantized_blob_drift(native_lib, tmp_path, rng):
                        B=2, H=16, L=2, E=2, use_attn=False, chunk_causal=True,
                        use_first_ln=True, merge_method="early_cat",
                        conv_lstm=False, dis_type="conv3")
+    if variant == "attn":
+        params_dict.update(use_attn=True, local_atten_len=6)
     net = make_net(params_dict, conditional=True)
     cfg = net.cfg
     x = rng.standard_normal(
@@ -106,9 +113,9 @@ def test_int8_quantized_blob_drift(native_lib, tmp_path, rng):
 
     cfg_json = json.dumps({k: getattr(cfg, k) for k in (
         "stft_chunk_size", "stft_pad_size", "stft_back_pad", "num_ch", "D",
-        "B", "H", "L", "E", "use_attn", "conv_lstm", "lstm_down",
-        "use_first_ln", "merge_method", "directional", "dis_type", "num_src",
-        "conditional")})
+        "B", "H", "L", "E", "use_attn", "local_atten_len", "conv_lstm",
+        "lstm_down", "use_first_ln", "merge_method", "directional",
+        "dis_type", "num_src", "conditional")})
     outs = {}
     for tag, quant in (("f32", False), ("int8", True)):
         d = tmp_path / tag

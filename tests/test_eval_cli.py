@@ -1,5 +1,6 @@
 """Eval CLI end-to-end on fixture data: train a checkpoint, evaluate a
 directory of golden samples, aggregate results."""
+import os
 import json
 import subprocess
 import sys
@@ -80,3 +81,34 @@ def test_eval_unconditioned_threshold(trained_run, tmp_path):
     model = utils.load_torch_pretrained(str(run_dir)).model
     with pytest.raises(ValueError, match="Invalid distance threshold"):
         run_testcase(model, np.zeros((6, 320), np.float32), None, 0.7)
+
+
+def test_print_results_plots(tmp_path):
+    """write_plots parity surface (`/root/reference/src/print_results.py:31-141`,
+    shipped working here): room-wise bars, input-vs-output scatter, and
+    correlation panels from a results.csv with a room column."""
+    import pandas as pd
+
+    from src.print_results import write_plots
+
+    rng = np.random.default_rng(0)
+    n = 40
+    df = pd.DataFrame({
+        "n_tgt_speakers": rng.integers(0, 3, n),
+        "room": rng.choice(["roomA", "roomB"], n),
+        "input_sisdr": rng.normal(0, 3, n),
+        "sisdri": rng.normal(3, 2, n),
+        "input_snr": rng.normal(0, 3, n),
+        "snri": rng.normal(3, 2, n),
+        "pesq": rng.uniform(1, 4.5, n),
+        "stoi": rng.uniform(0.3, 1.0, n),
+        "decay": rng.uniform(5, 30, n),
+    })
+    df["snro"] = df["snri"] + df["input_snr"]
+    df["sisdro"] = df["sisdri"] + df["input_sisdr"]
+    written = write_plots(df, str(tmp_path))
+    names = {os.path.basename(p) for p in written}
+    assert {"sisdri_vs_room.png", "input_vs_output_si_sdr.png",
+            "snro_corr.png", "sisdro_corr.png"} <= names
+    for p in written:
+        assert os.path.getsize(p) > 0

@@ -36,7 +36,12 @@ def pack_stack_params(cfg, params):
     """Model params (block{i} subtrees) -> stacked kernel operands.
 
     Returns a dict of [B, ...] arrays: gate-major fused intra BLSTM weights,
-    intra/inter LN affines, projections, inter LSTM weights.
+    intra/inter LN affines, projections, inter LSTM weights. For conv_lstm
+    configs the intra down/up convs are packed as phase-split matmuls:
+    `down_cat [C, s*C]` with column block j holding the stride-phase-j tap
+    (so one [F, C] @ down_cat matmul precomputes every frame's taps, and the
+    sequential loop only gathers s rows per step), and `up_flat [2H, s*C]`
+    (one matmul emits all s output phases per frame).
     """
     B, D, H = cfg.B, cfg.D, cfg.H
 
@@ -68,15 +73,13 @@ def pack_stack_params(cfg, params):
             b8[i, lo:lo + H] = np.asarray(bl["fwd"]["b"][sl])
             b8[i, lo + H:lo + 2 * H] = np.asarray(bl["bwd"]["b"][sl])
 
-    return {
+    packed = {
         "i_ln": jnp.stack([gather(("intra", "norm", "scale")),
                            gather(("intra", "norm", "bias"))], axis=1),
         "wih_f": jnp.asarray(wih_f),
         "wih_b": jnp.asarray(wih_b),
         "whh": jnp.asarray(whh),
         "b8": jnp.asarray(b8),
-        "proj_w": gather(("intra", "proj", "kernel")),
-        "proj_b": gather(("intra", "proj", "bias")),
         "t_ln": jnp.stack([gather(("inter_norm", "scale")),
                            gather(("inter_norm", "bias"))], axis=1),
         "wih2": gather(("inter_lstm", "w_ih")),
@@ -85,6 +88,31 @@ def pack_stack_params(cfg, params):
         "proj2_w": gather(("inter_proj", "kernel")),
         "proj2_b": gather(("inter_proj", "bias")),
     }
+    if cfg.conv_lstm:
+        s = cfg.lstm_down
+        down, downb, upf, upb = [], [], [], []
+        for i in range(B):
+            ip = params[f"block{i}"]["intra"]
+            dk = np.asarray(ip["down"]["kernel"], np.float32)   # [s*C, C]
+            # [s*C, C] row j*C+ci -> down_cat[ci, j*C+co]
+            down.append(dk.reshape(s, D, D).transpose(1, 0, 2)
+                        .reshape(D, s * D))
+            downb.append(np.asarray(ip["down"]["bias"], np.float32))
+            upf.append(np.asarray(ip["up_kernel"], np.float32)
+                       .reshape(2 * H, s * D))                  # [2H, s*C]
+            upb.append(np.asarray(ip["up_bias"], np.float32))
+        packed["down_cat"] = jnp.asarray(np.stack(down))
+        packed["down_b"] = jnp.asarray(np.stack(downb))
+        packed["alpha"] = jnp.asarray(np.stack(
+            [np.asarray(params[f"block{i}"]["intra"]["act"]["alpha"],
+                        np.float32).reshape(1) for i in range(B)]))
+        packed["up_flat"] = jnp.asarray(np.stack(upf))
+        packed["up_b"] = jnp.asarray(np.stack(upb))
+        packed["lstm_down"] = s
+    else:
+        packed["proj_w"] = gather(("intra", "proj", "kernel"))
+        packed["proj_b"] = gather(("intra", "proj", "bias"))
+    return packed
 
 
 def _ln(x, s, b, eps):
@@ -158,6 +186,107 @@ def _kernel(x_ref, film_w_ref, film_b_ref, i_ln_ref, wih_f_ref, wih_b_ref,
     x_out_ref[:] = x
 
 
+def _kernel_conv(x_ref, film_w_ref, film_b_ref, down_cat_ref, down_b_ref,
+                 alpha_ref, i_ln_ref, wih_f_ref, wih_b_ref, whh_ref, b8_ref,
+                 up_flat_ref, up_b_ref, t_ln_ref, wih2_ref, whh2_ref, b2_ref,
+                 proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
+                 x_out_ref, h0_out_ref, c0_out_ref,
+                 taps_ref, gxf_ref, gxb_ref, yf_ref, yb_ref,
+                 *, n_blocks, f_len, hidden, s, use_film, eps):
+    """conv_lstm intra variant (reference `GridNetBlock:800-815`): strided
+    Conv1d down -> PReLU -> LN -> BLSTM over k=F//s steps -> ConvTranspose1d
+    up -> pad-to-F. The down conv is phase-split (`pack_stack_params`): one
+    [F, C] @ [C, s*C] matmul precomputes every frame's taps; each sequential
+    step gathers its s rows, so the recurrence is k steps, not F."""
+    H = hidden
+    h2 = 2 * H
+    F = f_len
+    k = F // s
+    x = x_ref[:]                                   # [F, D]
+    C = x.shape[-1]
+
+    for b in range(n_blocks):
+        if use_film and b > 0:
+            x = x * film_w_ref[b - 1] + film_b_ref[b - 1]
+
+        # ---- intra (conv_lstm) ----
+        taps_ref[:] = jnp.dot(x, down_cat_ref[b],
+                              preferred_element_type=jnp.float32)
+        alpha = alpha_ref[b][0]
+        whh_b = whh_ref[b]
+
+        def gx_step(f, _):
+            z = down_b_ref[b][None, :]
+            for j in range(s):
+                z = z + taps_ref[f * s + j, j * C:(j + 1) * C][None, :]
+            z = jnp.maximum(z, 0) + alpha * jnp.minimum(z, 0)
+            z = _ln(z, i_ln_ref[b, 0], i_ln_ref[b, 1], eps)
+            gxf_ref[f] = (jnp.dot(z, wih_f_ref[b],
+                                  preferred_element_type=jnp.float32)
+                          + b8_ref[b])
+            gxb_ref[f] = jnp.dot(z, wih_b_ref[b],
+                                 preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, k, gx_step, 0)
+
+        def step(f, carry):
+            h1, c1 = carry                         # [1, 2H]
+            rev = k - 1 - f
+            gates = (gxf_ref[f] + gxb_ref[rev]
+                     + jnp.dot(h1, whh_b, preferred_element_type=jnp.float32))
+            ig = jax.nn.sigmoid(gates[:, 0:h2])
+            fg = jax.nn.sigmoid(gates[:, h2:2 * h2])
+            gg = jnp.tanh(gates[:, 2 * h2:3 * h2])
+            og = jax.nn.sigmoid(gates[:, 3 * h2:])
+            c1 = fg * c1 + ig * gg
+            h1 = og * jnp.tanh(c1)
+            yf_ref[f] = h1[:, :H]
+            yb_ref[rev] = h1[:, H:]
+            return h1, c1
+
+        zero = jnp.zeros((1, h2), jnp.float32)
+        jax.lax.fori_loop(0, k, step, (zero, zero))
+        y2h = jnp.concatenate([yf_ref[:][:, 0], yb_ref[:][:, 0]], axis=-1)
+        # reuse the taps scratch (free after gx_step) for the up output so
+        # the per-row gather below indexes a ref, not a loop-carried value
+        taps_ref[0:k] = jnp.dot(y2h, up_flat_ref[b],
+                                preferred_element_type=jnp.float32)  # [k,s*C]
+        up_b = up_b_ref[b]
+
+        # residual add; rows >= k*s keep x (reference pads zeros `:811-813`)
+        x_out_ref[:] = x
+
+        def up_step(f, _):
+            for j in range(s):
+                x_out_ref[f * s + j] = (
+                    x_out_ref[f * s + j]
+                    + taps_ref[f, j * C:(j + 1) * C] + up_b)
+            return 0
+
+        jax.lax.fori_loop(0, k, up_step, 0)
+        x = x_out_ref[:]
+
+        # ---- inter: identical to the non-conv kernel ----
+        z2 = _ln(x, t_ln_ref[b, 0], t_ln_ref[b, 1], eps)
+        g2 = (jnp.dot(z2, wih2_ref[b], preferred_element_type=jnp.float32)
+              + b2_ref[b]
+              + jnp.dot(h0_ref[b], whh2_ref[b],
+                        preferred_element_type=jnp.float32))
+        i2 = jax.nn.sigmoid(g2[:, 0:H])
+        f2 = jax.nn.sigmoid(g2[:, H:2 * H])
+        gg2 = jnp.tanh(g2[:, 2 * H:3 * H])
+        o2 = jax.nn.sigmoid(g2[:, 3 * H:])
+        c_new = f2 * c0_ref[b] + i2 * gg2
+        h_new = o2 * jnp.tanh(c_new)
+        h0_out_ref[b] = h_new
+        c0_out_ref[b] = c_new
+        x = x + jnp.dot(h_new, proj2_w_ref[b],
+                        preferred_element_type=jnp.float32) + proj2_b_ref[b]
+
+    x_out_ref[:] = x
+
+
 def gridnet_stack_step(packed, x, h0, c0, film_w=None, film_b=None,
                        eps: float = 1e-5, interpret: bool = False):
     """One streaming step of the full block stack.
@@ -178,12 +307,36 @@ def gridnet_stack_step(packed, x, h0, c0, film_w=None, film_b=None,
         film_b = jnp.zeros_like(film_w)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = (jax.ShapeDtypeStruct((f_len, d), jnp.float32),
+                 jax.ShapeDtypeStruct((n_blocks, f_len, hidden), jnp.float32),
+                 jax.ShapeDtypeStruct((n_blocks, f_len, hidden), jnp.float32))
+
+    if "down_cat" in packed:  # conv_lstm intra variant
+        s = packed["lstm_down"]
+        k = f_len // s
+        out = pl.pallas_call(
+            functools.partial(_kernel_conv, n_blocks=n_blocks, f_len=f_len,
+                              hidden=hidden, s=s, use_film=use_film, eps=eps),
+            out_shape=out_shape,
+            in_specs=[vmem] * 21,
+            out_specs=(vmem, vmem, vmem),
+            scratch_shapes=[pltpu.VMEM((f_len, s * d), jnp.float32),
+                            pltpu.VMEM((k, 1, 8 * hidden), jnp.float32),
+                            pltpu.VMEM((k, 1, 8 * hidden), jnp.float32),
+                            pltpu.VMEM((k, 1, hidden), jnp.float32),
+                            pltpu.VMEM((k, 1, hidden), jnp.float32)],
+            interpret=interpret,
+        )(x, film_w, film_b, packed["down_cat"], packed["down_b"],
+          packed["alpha"], packed["i_ln"], packed["wih_f"], packed["wih_b"],
+          packed["whh"], packed["b8"], packed["up_flat"], packed["up_b"],
+          packed["t_ln"], packed["wih2"], packed["whh2"], packed["b2"],
+          packed["proj2_w"], packed["proj2_b"], h0, c0)
+        return out
+
     out = pl.pallas_call(
         functools.partial(_kernel, n_blocks=n_blocks, f_len=f_len,
                           hidden=hidden, use_film=use_film, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((f_len, d), jnp.float32),
-                   jax.ShapeDtypeStruct((n_blocks, f_len, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((n_blocks, f_len, hidden), jnp.float32)),
+        out_shape=out_shape,
         in_specs=[vmem] * 18,
         out_specs=(vmem, vmem, vmem),
         scratch_shapes=[pltpu.VMEM((f_len, 1, 8 * hidden), jnp.float32),

@@ -34,10 +34,11 @@ class FusedStreamer:
 
     def __init__(self, net, params, dis_embed=None, interpret: bool = False):
         cfg = net.cfg
-        if cfg.use_attn or cfg.conv_lstm or cfg.stft_back_pad != 0:
+        if cfg.use_attn:
             raise ValueError(
-                "FusedStreamer supports use_attn=False, conv_lstm=False, "
-                "stft_back_pad=0 configs; use ModelWrapper for this model")
+                "FusedStreamer supports use_attn=False configs (incl. "
+                "conv_lstm and stft_back_pad>0); use ModelWrapper for "
+                "attention models")
         self.cfg = cfg
         self._params = params
         self._interpret = interpret
@@ -116,9 +117,22 @@ class FusedStreamer:
         full_spec = jnp.concatenate([state["istft_buf"], est], axis=2)
         next_state["istft_buf"] = full_spec[:, :, -cfg.istft_lookback:]
         chunk = cfg.stft_chunk_size
-        y = istft(fb, full_spec)
-        y = y[..., :-(cfg.n_fft - chunk)]
-        y = y[..., cfg.istft_lookback * chunk:]
+        if cfg.stft_back_pad == 0:
+            y = istft(fb, full_spec)
+            y = y[..., :-(cfg.n_fft - chunk)]
+            y = y[..., cfg.istft_lookback * chunk:]
+        else:
+            # look-back causal_decoder, streaming T=1 (model.py `_core`
+            # back_pad branch; reference `tfgridnet_causal.py:423-431`)
+            B2, S2, Tp, _ = full_spec.shape
+            frames = (full_spec.reshape(-1, 2 * F) @ fb.filters)
+            frames = frames.reshape(B2, S2, Tp, cfg.n_fft)
+            frames = frames[..., cfg.stft_back_pad:]
+            la = cfg.n_fft - chunk
+            head = frames[:, :, -1, :chunk]
+            prev_tail = frames[:, :, -2, -la:]
+            y = head.at[..., :min(la, chunk)].add(
+                prev_tail[..., :min(la, chunk)])
         return y, next_state
 
     def feed(self, window):

@@ -14,16 +14,24 @@ SMALL = dict(stft_chunk_size=32, stft_pad_size=16, num_ch=6, D=8, B=3, H=8,
              merge_method="early_cat", conv_lstm=False, dis_type="conv3")
 
 
-@pytest.mark.parametrize("variant", ["cond", "uncond", "masking"])
+@pytest.mark.parametrize(
+    "variant", ["cond", "uncond", "masking", "conv_lstm", "back_pad"])
 def test_fused_matches_model(variant, rng):
     params_dict = dict(SMALL)
     conditional = variant != "uncond"
     if variant == "masking":
         params_dict.update(spectral_masking=True)
+    elif variant == "conv_lstm":
+        # raspberrypi/orangpi edge shape (VERDICT r2 weak #6,
+        # `real_experiments/raspberrypi_model_pretrain.json:7-26`)
+        params_dict.update(conv_lstm=True, lstm_down=5)
+    elif variant == "back_pad":
+        params_dict.update(stft_back_pad=8)
     net = make_net(params_dict, conditional=conditional)
     cfg = net.cfg
     x = rng.standard_normal(
-        (1, 6, cfg.stft_chunk_size * 8 + cfg.stft_pad_size)
+        (1, 6, cfg.stft_back_pad + cfg.stft_chunk_size * 8
+         + cfg.stft_pad_size)
     ).astype(np.float32) * 3
     inputs = {"mixture": jnp.asarray(x[..., :cfg.n_fft])}
     dis = jnp.asarray([[0.0, 1.0, 0.0]])
@@ -32,11 +40,11 @@ def test_fused_matches_model(variant, rng):
     params = net.init(jax.random.PRNGKey(0), inputs)["params"]
 
     ref = np.asarray(streaming_inference(
-        ModelWrapper(net, params), x, cfg.stft_chunk_size, cfg.stft_pad_size,
-        dis_embed=dis))
+        ModelWrapper(net, params), x, cfg.stft_chunk_size,
+        cfg.stft_pad_size + cfg.stft_back_pad, dis_embed=dis))
 
     fs = FusedStreamer(net, params, dis_embed=dis, interpret=True)
-    T, P = cfg.stft_chunk_size, cfg.stft_pad_size
+    T, P = cfg.stft_chunk_size, cfg.stft_pad_size + cfg.stft_back_pad
     window = np.zeros((1, 6, T + P), np.float32)
     window[..., -P:] = x[..., :P]
     outs = []

@@ -28,6 +28,10 @@ from sound_bubble_tpu.ops.init import uniform_fan
 
 # scan unroll factor: 1 measured fastest on TPU v5e (see bench.py history)
 _UNROLL = int(os.environ.get("SB_LSTM_UNROLL", "1"))
+# mixed-precision cells: run the gate sigmoids/tanh in bf16 (2 lanes/elem on
+# the VPU) while the cell state stays fp32. The gate transcendentals are a
+# large share of train-step time (bench 2026-08-17).
+_BF16_GATES = os.environ.get("SB_LSTM_BF16_GATES", "1") == "1"
 # opt-in fused Pallas BLSTM kernel (inference; TPU only)
 _PALLAS_BLSTM = os.environ.get("SB_PALLAS_BLSTM", "0") == "1"
 
@@ -59,14 +63,17 @@ def _cell(h, c, gates_x, w_hh, hidden):
     if w_hh.dtype != h.dtype:
         gates = gates_x.astype(jnp.float32) + jnp.matmul(
             h.astype(w_hh.dtype), w_hh, preferred_element_type=jnp.float32)
+        if _BF16_GATES:
+            gates = gates.astype(jnp.bfloat16)
     else:
         gates = gates_x + h @ w_hh
     i = jax.nn.sigmoid(gates[..., :hidden])
     f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
     g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
     o = jax.nn.sigmoid(gates[..., 3 * hidden:])
-    c = f * c + i * g
-    h = o * jnp.tanh(c)
+    c = (f * c).astype(c.dtype) + i * g
+    h = o * jnp.tanh(c.astype(gates.dtype))
+    h = h.astype(jnp.float32) if h.dtype != c.dtype else h
     return h, c
 
 
@@ -158,14 +165,17 @@ def blstm(params, x, unroll: int | None = None):
             gates = gx.astype(jnp.float32) + jnp.einsum(
                 "d...h,dhk->d...k", h.astype(w_hh.dtype), w_hh,
                 preferred_element_type=jnp.float32)
+            if _BF16_GATES:
+                gates = gates.astype(jnp.bfloat16)
         else:
             gates = gx + jnp.einsum("d...h,dhk->d...k", h, w_hh)
         i = jax.nn.sigmoid(gates[..., :hidden])
         f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
         g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
         o = jax.nn.sigmoid(gates[..., 3 * hidden:])
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
+        c = (f * c).astype(c.dtype) + i * g
+        h = o * jnp.tanh(c.astype(gates.dtype))
+        h = h.astype(carry_dtype)
         return (h, c), h.astype(x.dtype)
 
     unroll = _UNROLL if unroll is None else unroll

@@ -75,3 +75,18 @@ def test_metrics_dispatch_emits_real_pesq():
     assert np.isfinite(clean).all() and clean[0] > 4.4
     noisy = x + 0.1 * np.random.default_rng(0).standard_normal(x.shape)
     assert np.asarray(m(est=noisy, gt=x, mix=x))[0] < clean[0]
+
+
+def test_pesq_conformance_fixture():
+    """The committed conformance fixture (tools/pesq_conformance.py) must
+    re-score identically (regression pin) and stay SNR-monotone."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "pesq_conformance",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "pesq_conformance.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert os.path.exists(mod.FIXTURE)
+    assert mod.check() == 0

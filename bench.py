@@ -99,15 +99,17 @@ def _measure_fused(net, cfg, n_chunks=125, repeats=5):
         return None
 
 
-def _measure_train(net, cfg, batch=8, seconds=2.25, steps=8):
+def _measure_train(net, cfg, batch=8, seconds=2.5, steps=8):
     """Full production train step (SNRLP loss + grad + Adam), ms/step.
-    Mirrors the campaign trainer's jit (src/train_stream.py) on random data
-    so the driver can see training-throughput regressions (VERDICT r1 #6)."""
+    Mirrors the campaign trainer's jit (src/train_stream.py --bf16, the
+    round-3 default: bf16 activations/gates, fp32 master params + loss) on
+    random data so the driver can see training-throughput regressions."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from sound_bubble_tpu.losses.snrlp import SNRLPLoss
+    from sound_bubble_tpu.utils import cast_bf16
 
     n = int(seconds * 24000)
     rng = np.random.default_rng(0)
@@ -123,8 +125,9 @@ def _measure_train(net, cfg, batch=8, seconds=2.25, steps=8):
 
     def step(params, opt_state):
         def lf(p):
-            est = net.apply({"params": p}, inputs)["output"]
-            return jnp.mean(loss_fn(est=est, gt=gt))
+            mi = cast_bf16(inputs)
+            est = net.apply({"params": cast_bf16(p)}, mi)["output"]
+            return jnp.mean(loss_fn(est=est.astype(jnp.float32), gt=gt))
         loss, grads = jax.value_and_grad(lf)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss

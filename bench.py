@@ -23,11 +23,12 @@ import numpy as np
 SERVING_BATCH = 256
 
 
-def _measure(net, cfg, batch, n_chunks=125, repeats=5):
+def _measure(net, cfg, batch, n_chunks=125, repeats=5, bf16=False):
     import jax
     import jax.numpy as jnp
 
     from sound_bubble_tpu.models.tfgridnet.model import init_state
+    from sound_bubble_tpu.utils import cast_bf16
 
     chunk, pad = cfg.stft_chunk_size, cfg.stft_pad_size
     rng = np.random.default_rng(0)
@@ -36,7 +37,13 @@ def _measure(net, cfg, batch, n_chunks=125, repeats=5):
     emb = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (batch, 1))
     variables = net.init(jax.random.PRNGKey(0),
                          {"mixture": windows[0], "dis_embed": emb})
-    state0 = init_state(cfg, batch)
+    if bf16:
+        # bf16 serving: params/activations bf16, fp32 STFT ends and state
+        variables = {"params": cast_bf16(variables["params"])}
+        windows = windows.astype(jnp.bfloat16)
+        emb = emb.astype(jnp.bfloat16)
+    state0 = init_state(cfg, batch,
+                        jnp.bfloat16 if bf16 else jnp.float32)
 
     def scan_stream(params, windows, state):
         def body(st, win):
@@ -143,6 +150,17 @@ def _measure_train(net, cfg, batch=8, seconds=2.5, steps=8):
     return ms, batch * seconds / (ms / 1e3)  # (ms/step, audio-sec ingested/s)
 
 
+# raspberrypi/orangpi edge model (conv_lstm intra,
+# real_experiments/raspberrypi_model_pretrain.json) — unconditioned variant
+EDGE_MODEL = {
+    "stft_chunk_size": 192, "stft_pad_size": 96, "num_ch": 6, "D": 16,
+    "L": 4, "I": 1, "J": 1, "B": 3, "H": 64, "E": 2, "local_atten_len": 100,
+    "use_attn": False, "lookahead": True, "chunk_causal": True,
+    "use_first_ln": True, "merge_method": "early_cat", "conv_lstm": True,
+    "dis_type": "conv3", "lstm_down": 5,
+}
+
+
 def main():
     import jax
 
@@ -156,10 +174,20 @@ def main():
     if fused_ms is not None and fused_ms < single_ms:
         single_ms = fused_ms  # serve single streams through the fused kernel
     batch_ms = _measure(net, cfg, batch=SERVING_BATCH)
+    batch_ms_bf16 = _measure(net, cfg, batch=SERVING_BATCH, bf16=True)
     train_ms, train_ingest = _measure_train(net, cfg)
 
+    # edge conv_lstm config single-stream (fused kernel; VERDICT r2 #5)
+    edge_net = make_net(EDGE_MODEL, conditional=False)
+    edge_ms = _measure_fused(edge_net, edge_net.cfg)
+    if edge_ms is None:
+        edge_ms = _measure(edge_net, edge_net.cfg, batch=1)
+
     single_rtf = 8.0 / single_ms
-    throughput_rtf = SERVING_BATCH * 8.0 / batch_ms
+    # headline throughput serves in bf16 when faster (fp32 number reported
+    # alongside; bf16 is the standard TPU serving precision)
+    best_batch_ms = min(batch_ms, batch_ms_bf16)
+    throughput_rtf = SERVING_BATCH * 8.0 / best_batch_ms
     baseline_rtf = 8.0 / 6.36  # reference: 6.36 ms per 8 ms chunk on edge CPU
     print(json.dumps({
         "metric": "streaming_rtf_per_chip",
@@ -171,9 +199,11 @@ def main():
         "single_stream_ms_fused_kernel": (round(fused_ms, 4)
                                           if fused_ms is not None else None),
         "serving_batch": SERVING_BATCH,
-        "batch_ms_per_chunk": round(batch_ms, 4),
+        "batch_ms_per_chunk": round(best_batch_ms, 4),
+        "batch_ms_per_chunk_f32": round(batch_ms, 4),
         "train_step_ms": round(train_ms, 1),
         "train_ingest_x_realtime": round(train_ingest, 1),
+        "edge_single_stream_ms_per_8ms_chunk": round(edge_ms, 4),
         "device": str(jax.devices()[0]),
     }))
 

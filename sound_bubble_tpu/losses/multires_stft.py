@@ -87,21 +87,36 @@ class STFTLoss:
             self.taps = jnp.asarray(a_weighting_fir(sample_rate))
 
     def __call__(self, est: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+        """est/gt [B, C, T]. Returns per-sample [B] (mean over [B] equals the
+        auraloss batch scalar, and per-sample form lets the trainer
+        pad-and-mask uneven batches exactly) — EXCEPT when w_sc > 0: the
+        auraloss spectral-convergence norm is global over the batch, which
+        does not decompose per sample; that case keeps the scalar."""
         if self.taps is not None:
             est = fir_filter(est, self.taps)
             gt = fir_filter(gt, self.taps)
+        b = est.shape[0]
         x = stft_mag(est.reshape(-1, est.shape[-1]), self.fft_size,
                      self.hop_size, self.win_length, self.eps)
         y = stft_mag(gt.reshape(-1, gt.shape[-1]), self.fft_size,
                      self.hop_size, self.win_length, self.eps)
-        loss = 0.0
         if self.w_sc:
-            sc = jnp.linalg.norm(y - x) / jnp.linalg.norm(y)
-            loss = loss + self.w_sc * sc
+            # auraloss batch-global path (scalar, exactly as the reference)
+            loss = self.w_sc * jnp.linalg.norm(y - x) / jnp.linalg.norm(y)
+            if self.w_log_mag:
+                loss = loss + self.w_log_mag * jnp.mean(
+                    jnp.abs(jnp.log(y) - jnp.log(x)))
+            if self.w_lin_mag:
+                loss = loss + self.w_lin_mag * jnp.mean(jnp.abs(y - x))
+            return loss
+        xb = x.reshape(b, -1)
+        yb = y.reshape(b, -1)
+        loss = jnp.zeros((b,), x.dtype)
         if self.w_log_mag:
-            loss = loss + self.w_log_mag * jnp.mean(jnp.abs(jnp.log(y) - jnp.log(x)))
+            loss = loss + self.w_log_mag * jnp.mean(
+                jnp.abs(jnp.log(yb) - jnp.log(xb)), axis=-1)
         if self.w_lin_mag:
-            loss = loss + self.w_lin_mag * jnp.mean(jnp.abs(y - x))
+            loss = loss + self.w_lin_mag * jnp.mean(jnp.abs(yb - xb), axis=-1)
         return loss
 
 
@@ -120,7 +135,9 @@ class MultiResolutionSTFTLoss:
 
 class MultiResoFuseLoss:
     """Reference finetune loss: MR-STFT + l1_ratio * L1
-    (`MultiResoLoss.py:6-31`). est/gt: [B, C, T] -> scalar."""
+    (`MultiResoLoss.py:6-31`). est/gt: [B, C, T] -> per-sample [B] when
+    w_sc == 0 (mean equals the reference scalar; enables exact uneven-batch
+    pad-and-mask), scalar otherwise (see STFTLoss)."""
 
     def __init__(self, l1_ratio: float = 0.0, **kwargs):
         self.l1_ratio = l1_ratio
@@ -129,5 +146,10 @@ class MultiResoFuseLoss:
     def __call__(self, est: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
         loss = self.loss_fn(est, gt)
         if self.l1_ratio > 0:
-            loss = loss + self.l1_ratio * jnp.mean(jnp.abs(est - gt))
+            l1 = jnp.abs(est - gt)
+            if loss.ndim == 1:  # per-sample path
+                loss = loss + self.l1_ratio * jnp.mean(
+                    l1.reshape(est.shape[0], -1), axis=-1)
+            else:
+                loss = loss + self.l1_ratio * jnp.mean(l1)
         return loss

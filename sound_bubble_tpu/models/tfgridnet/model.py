@@ -498,7 +498,10 @@ class Net(nn.Module):
             est = est * spec[:, :cfg.num_src]
 
         full_spec = jnp.concatenate([state["istft_buf"], est], axis=2)
-        next_state["istft_buf"] = full_spec[:, :, -cfg.istft_lookback:]
+        # keep the carried state's dtype (est is fp32 under mixed precision;
+        # a bf16 streaming scan needs a dtype-stable carry)
+        next_state["istft_buf"] = full_spec[:, :, -cfg.istft_lookback:] \
+            .astype(state["istft_buf"].dtype)
         chunk = cfg.stft_chunk_size
         lookahead_pad = cfg.n_fft - chunk  # back_pad + pad
         if cfg.stft_back_pad == 0:

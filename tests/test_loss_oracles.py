@@ -92,7 +92,9 @@ def test_multires_lin_mag_with_perceptual_weighting(signals):
     ours = MultiResoFuseLoss(l1_ratio=10, w_sc=0.0, w_log_mag=0.0,
                              w_lin_mag=20.0, sample_rate=24000,
                              perceptual_weighting=True)
-    got = float(ours(jnp.asarray(est), jnp.asarray(gt)))
+    per_sample = ours(jnp.asarray(est), jnp.asarray(gt))
+    assert per_sample.shape == (est.shape[0],)  # enables pad-and-mask
+    got = float(jnp.mean(per_sample))
     taps = _aw_fir_oracle(24000)
     want = (_oracle_multires(est, gt, taps=taps, w_sc=0, w_log=0, w_lin=20.0)
             + 10 * np.abs(est - gt).mean())

@@ -38,10 +38,10 @@ def _measure(net, cfg, batch, n_chunks=125, repeats=5, bf16=False):
     variables = net.init(jax.random.PRNGKey(0),
                          {"mixture": windows[0], "dis_embed": emb})
     if bf16:
-        # bf16 serving: params/activations bf16, fp32 STFT ends and state
+        # bf16 serving: params + trunk bf16 (net must be built with
+        # cfg.compute_dtype="bf16"); the waveform/STFT/feature front-end
+        # stays fp32 so the log-ratio ILD/IPD features are not quantized
         variables = {"params": cast_bf16(variables["params"])}
-        windows = windows.astype(jnp.bfloat16)
-        emb = emb.astype(jnp.bfloat16)
     state0 = init_state(cfg, batch,
                         jnp.bfloat16 if bf16 else jnp.float32)
 
@@ -132,8 +132,8 @@ def _measure_train(net, cfg, batch=8, seconds=2.5, steps=8):
 
     def step(params, opt_state):
         def lf(p):
-            mi = cast_bf16(inputs)
-            est = net.apply({"params": cast_bf16(p)}, mi)["output"]
+            # net is built with compute_dtype="bf16": fp32 inputs, bf16 trunk
+            est = net.apply({"params": cast_bf16(p)}, inputs)["output"]
             return jnp.mean(loss_fn(est=est.astype(jnp.float32), gt=gt))
         loss, grads = jax.value_and_grad(lf)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -174,8 +174,10 @@ def main():
     if fused_ms is not None and fused_ms < single_ms:
         single_ms = fused_ms  # serve single streams through the fused kernel
     batch_ms = _measure(net, cfg, batch=SERVING_BATCH)
-    batch_ms_bf16 = _measure(net, cfg, batch=SERVING_BATCH, bf16=True)
-    train_ms, train_ingest = _measure_train(net, cfg)
+    net16 = make_net({**PROD_MODEL, "compute_dtype": "bf16"})
+    batch_ms_bf16 = _measure(net16, net16.cfg, batch=SERVING_BATCH,
+                             bf16=True)
+    train_ms, train_ingest = _measure_train(net16, net16.cfg)
 
     # edge conv_lstm config single-stream (fused kernel; VERDICT r2 #5)
     edge_net = make_net(EDGE_MODEL, conditional=False)

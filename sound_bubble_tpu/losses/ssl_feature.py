@@ -21,21 +21,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _flax_loadable(d: str) -> bool:
+    """A snapshot is only useful if FlaxWav2Vec2Model can actually load it:
+    config.json plus FLAX weights (the standard hub snapshots of the trunk
+    ids are torch-only — autodiscovering those would swap the intended
+    helpful hard-fail for an EnvironmentError, or worse load partially)."""
+    return (os.path.exists(os.path.join(d, "config.json"))
+            and any(os.path.exists(os.path.join(d, f))
+                    for f in ("flax_model.msgpack",
+                              "flax_model.safetensors")))
+
+
 def discover_local_weights(default_id: str) -> str | None:
     """Zero-config pretrained-weight autodiscovery on corpus-equipped hosts.
 
     Probes, in order: `SB_SSL_WEIGHTS_DIR` (a directory containing either the
     checkpoint itself or `<org>--<name>` / `<name>` subdirs), the HuggingFace
     cache (`HF_HOME`/`~/.cache/huggingface`) for a snapshot of `default_id`.
-    Returns a loadable path/id or None."""
+    Only FLAX-loadable snapshots qualify (see `_flax_loadable`). Returns a
+    loadable path or None."""
     org_name = default_id.replace("/", "--")
     short = default_id.rsplit("/", 1)[-1]
     root = os.environ.get("SB_SSL_WEIGHTS_DIR")
     if root:
         for cand in (root, os.path.join(root, org_name),
                      os.path.join(root, short)):
-            if os.path.isdir(cand) and (
-                    os.path.exists(os.path.join(cand, "config.json"))):
+            if os.path.isdir(cand) and _flax_loadable(cand):
                 return cand
     hf_home = os.environ.get(
         "HF_HOME", os.path.expanduser("~/.cache/huggingface"))
@@ -43,7 +54,7 @@ def discover_local_weights(default_id: str) -> str | None:
     if os.path.isdir(snap):
         revs = sorted(glob.glob(os.path.join(snap, "*")))
         for rev in reversed(revs):
-            if os.path.exists(os.path.join(rev, "config.json")):
+            if _flax_loadable(rev):
                 return rev
     return None
 
@@ -94,10 +105,13 @@ class _SSLFeatureLoss:
             if not allow_random_init:
                 raise RuntimeError(
                     "SSL feature loss requires pretrained weights: no "
-                    "`model_name` was given and none were found locally "
-                    f"(probed SB_SSL_WEIGHTS_DIR and the HF cache for "
-                    f"{self.default_model_id}). Pass model_name=<local dir "
-                    "or hub id>, set SB_SSL_WEIGHTS_DIR, or opt in to a "
+                    "`model_name` was given and no FLAX-loadable snapshot "
+                    f"was found locally (probed SB_SSL_WEIGHTS_DIR and the "
+                    f"HF cache for {self.default_model_id}; torch-only "
+                    "snapshots need a one-time conversion: "
+                    "FlaxWav2Vec2Model.from_pretrained(id, from_pt=True)"
+                    ".save_pretrained(dir)). Pass model_name=<local dir or "
+                    "hub id>, set SB_SSL_WEIGHTS_DIR, or opt in to a "
                     "random-initialized trunk with allow_random_init=true "
                     "(NOT the reference's perceptual loss).")
             import warnings
@@ -141,6 +155,11 @@ class HubertLoss(_SSLFeatureLoss):
 
 
 class WavLMLoss(_SSLFeatureLoss):
+    """NOTE: the flax trunk is the wav2vec2 architecture; WavLM's gated
+    relative-position attention bias has no flax port, so weights converted
+    from microsoft/wavlm-base load the shared conv+transformer core only —
+    a close but not bit-exact stand-in for the reference's WavLMModel
+    (`WavLM_Loss.py:16`)."""
     default_model_id = "microsoft/wavlm-base"
 
 

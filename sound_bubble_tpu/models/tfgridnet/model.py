@@ -73,6 +73,11 @@ class NetConfig:
     # over T dominate activation memory; without this, the production config
     # at batch 8 x 4.5 s needs ~48 GB HBM vs ~8 GB with remat).
     remat: bool = True
+    # "bf16" runs the GridNet trunk in bfloat16 while the INPUT WAVEFORM,
+    # STFT, spatial features, and iSTFT stay fp32 (mixed-precision training/
+    # serving without quantizing the log-ratio ILD/IPD front-end). None =
+    # trunk follows the input dtype.
+    compute_dtype: str | None = None
 
     @property
     def n_fft(self) -> int:
@@ -427,12 +432,17 @@ class Net(nn.Module):
     def init_buffers(self, batch_size):
         return init_state(self.cfg, batch_size)
 
+    def _trunk_dtype(self, x):
+        if self.cfg.compute_dtype == "bf16":
+            return jnp.bfloat16
+        return x.dtype
+
     @nn.compact
     def __call__(self, inputs, input_state=None, pad=True):
         cfg = self.cfg
         x = inputs["mixture"]
         if input_state is None:
-            input_state = init_state(cfg, x.shape[0], x.dtype)
+            input_state = init_state(cfg, x.shape[0], self._trunk_dtype(x))
         mod = 0
         if pad:
             psz = ((cfg.stft_back_pad, cfg.stft_pad_size)
@@ -441,6 +451,7 @@ class Net(nn.Module):
         emb = None
         if cfg.conditional:
             emb = DisEmbed(cfg, name="dis_embed")(inputs["dis_embed"])
+            emb = emb.astype(self._trunk_dtype(x))
         y, next_state = self._core(x, emb, input_state)
         if mod:
             y = y[..., :-mod]
@@ -468,7 +479,7 @@ class Net(nn.Module):
             feat = jnp.concatenate([base, feats], axis=-1)
         else:
             feat = base
-        feat = feat.astype(x.dtype)
+        feat = feat.astype(self._trunk_dtype(x))
 
         full = jnp.concatenate([state["conv_buf"], feat], axis=1)
         next_state["conv_buf"] = full[:, -2:]

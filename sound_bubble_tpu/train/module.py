@@ -221,16 +221,19 @@ class PLModule:
             "Current epoch must be equal to length of metrics (0-indexed)"
         monitor_last = self.get_avg_metric_at_epoch(self.monitor)
         if jax.process_count() > 1:
-            # every host monitors a different val shard; average the monitor
-            # metric so scheduler/best decisions stay in lockstep
+            # every host monitors a different val shard; compute the EXACT
+            # global mean by all-gathering (sum, count) — a mean of per-host
+            # means over-weights small shards
             from jax.experimental import multihost_utils
-            monitor_last = float(np.mean(multihost_utils.process_allgather(
-                np.float32(monitor_last))))
+            entry = self.metric_values[self.epoch][self.monitor]
+            sums = multihost_utils.process_allgather(
+                np.asarray([entry["epoch"], entry["num_elements"]],
+                           np.float64))
+            monitor_last = float(sums[:, 0].sum() / sums[:, 1].sum())
             # store the GLOBAL average back into this epoch's history so
             # later epochs' best-checkpoint comparisons are global-vs-global
             # (host-local averages differ when val shards differ in
             # difficulty — ADVICE r2 #3)
-            entry = self.metric_values[self.epoch][self.monitor]
             entry["epoch"] = monitor_last * entry["num_elements"]
 
         save = best_path is not None

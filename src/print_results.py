@@ -51,8 +51,9 @@ def write_plots(results_df, out_dir):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-    except ImportError:
-        print("matplotlib unavailable — skipping plots")
+        import scipy.stats
+    except ImportError as e:
+        print(f"plot dependencies unavailable ({e.name}) — skipping plots")
         return []
 
     written = []
@@ -61,7 +62,6 @@ def write_plots(results_df, out_dir):
     non_zero = one_mask | two_mask
 
     # correlation panels (`print_results.py:31-44`)
-    import scipy.stats
     y_lists = [y for y in ("pesq", "stoi") if y in results_df]
     for x in ("snro", "sisdro"):
         if x not in results_df or not y_lists:

@@ -62,9 +62,31 @@ def main(args):
     with open(run_dir / "config.json", "w") as f:
         json.dump(cfg, f, indent=2)
 
+    # precision is part of the run: a --resume relaunch (the stall-watchdog
+    # pattern) must not silently flip a campaign between fp32 and bf16
+    args_path = run_dir / "train_stream_args.json"
+    if args.resume and args_path.exists():
+        recorded = json.load(open(args_path))
+        if recorded.get("bf16") != args.bf16:
+            print(f"RESUME: honoring the run's recorded precision "
+                  f"bf16={recorded.get('bf16')} (flag said {args.bf16})",
+                  flush=True)
+            args.bf16 = recorded.get("bf16")
+    else:
+        with open(args_path, "w") as f:
+            json.dump({"bf16": args.bf16, "voice": args.voice,
+                       "batch": args.batch, "clip_seconds": args.clip_seconds,
+                       "snr_range": [args.snr_min, args.snr_max]}, f)
+
     module = build_module(cfg, run_dir)
     net, loss_fn = module.net, module.loss_fn
     tx = module.optimizer.tx
+    if args.bf16:
+        # bf16 TRUNK with fp32 waveform/STFT/feature front-end (the input
+        # itself is never quantized — cfg.compute_dtype, model.py)
+        import dataclasses as _dc
+        from sound_bubble_tpu.models.tfgridnet.model import Net as _Net
+        net = _Net(_dc.replace(net.cfg, compute_dtype="bf16"))
 
     sr = cfg["pl_module_args"]["sr"]
     n_samples = int(args.clip_seconds * sr)
@@ -124,10 +146,10 @@ def main(args):
         if getattr(net.cfg, "conditional", True):
             model_in["dis_embed"] = inputs["dis_embed"]
         if args.bf16:
-            # mixed precision: bf16 activations/weights on the MXU, fp32
+            # mixed precision: bf16 weights/trunk on the MXU (the net was
+            # built with compute_dtype="bf16"; inputs stay fp32), fp32
             # master params + loss (grads arrive fp32 through the cast)
             import sound_bubble_tpu.utils as utils
-            model_in = utils.cast_bf16(model_in)
             est = net.apply({"params": utils.cast_bf16(params)},
                             model_in)["output"].astype(jnp.float32)
         else:

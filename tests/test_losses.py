@@ -96,12 +96,15 @@ def test_multires_stft_loss(rng):
     fn = MultiResoFuseLoss(l1_ratio=10, sample_rate=24000,
                            perceptual_weighting=True, w_sc=0, w_log_mag=0,
                            w_lin_mag=20)
-    l_same = float(fn(est_same, gt))
-    l_noise = float(fn(est_noise, gt))
+    # w_sc == 0 -> per-sample [B] (pad-and-mask support); mean == auraloss
+    assert fn(est_same, gt).shape == (2,)
+    l_same = float(jnp.mean(fn(est_same, gt)))
+    l_noise = float(jnp.mean(fn(est_noise, gt)))
     assert l_same < 1e-4
     assert l_noise > l_same + 0.1
-    # default auraloss weights path
+    # default auraloss weights path (w_sc > 0 -> batch-global scalar)
     fn2 = MultiResolutionSTFTLoss()
+    assert jnp.ndim(fn2(est_noise, gt)) == 0
     assert float(fn2(est_noise, gt)) > float(fn2(est_same, gt))
 
 

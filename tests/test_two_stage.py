@@ -49,6 +49,9 @@ def test_pretrain_then_finetune(data_root, tmp_path):
     ft_cfg.write_text(json.dumps(ft))
     ft_dir = tmp_path / "finetune"
     import warnings
+    from sound_bubble_tpu.parallel import mesh as _mesh
+    _mesh._warned_replication.clear()  # the once-per-key dedup would
+    # otherwise swallow the warning if an earlier test already hit it
     with warnings.catch_warnings():
         # the finetune loss is per-sample (w_sc=0), so the batch-2-on-8-mesh
         # case must go through pad-and-mask, NOT the replicate-with-warning

@@ -196,6 +196,9 @@ class CausalConv2d(nn.Module):
         w = self.param("kernel", linear_init(fan),
                        (self.t_ksize, self.f_ksize, cin, self.features))
         b = self.param("bias", linear_init(fan), (self.features,))
+        # conv is dtype-strict (unlike matmul): follow the activation dtype
+        # so a bf16 trunk works against fp32 init-time params
+        w, b = w.astype(x.dtype), b.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(1, 1),
             padding=[(0, 0), (self.f_ksize // 2, self.f_ksize // 2)],
@@ -214,6 +217,7 @@ class CausalDeconv2d(nn.Module):
         fan = self.features * 9  # torch ConvTranspose fan_in = out_ch * k * k
         w = self.param("kernel", linear_init(fan), (3, 3, cin, self.features))
         b = self.param("bias", linear_init(fan), (self.features,))
+        w, b = w.astype(x.dtype), b.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x, w[::-1, ::-1], window_strides=(1, 1),
             padding=[(0, 0), (1, 1)],
@@ -488,7 +492,17 @@ class Net(nn.Module):
             h = LayerNorm(cfg.D, name="first_ln")(h)
 
         bufs = dict(state["gridnet_bufs"])
-        block_cls = nn.remat(GridNetBlock) if cfg.remat else GridNetBlock
+        block_cls = GridNetBlock
+        if cfg.remat:
+            # SB_REMAT_POLICY: "none" recomputes everything in backward
+            # (min HBM); "dots" saves matmul outputs (trades HBM for fewer
+            # backward recomputes — measured via bench.py)
+            import os
+            policy = {"dots": jax.checkpoint_policies.dots_saveable,
+                      "dots_no_batch":
+                      jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      }.get(os.environ.get("SB_REMAT_POLICY", "none"))
+            block_cls = nn.remat(GridNetBlock, policy=policy)
         for i in range(cfg.B):
             if i > 0 and cfg.conditional:
                 h = FiLM(cfg.D, name=f"film{i - 1}")(h, emb)

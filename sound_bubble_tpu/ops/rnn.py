@@ -32,6 +32,16 @@ _UNROLL = int(os.environ.get("SB_LSTM_UNROLL", "1"))
 # the VPU) while the cell state stays fp32. The gate transcendentals are a
 # large share of train-step time (bench 2026-08-17).
 _BF16_GATES = os.environ.get("SB_LSTM_BF16_GATES", "1") == "1"
+# opt-in hand-written LSTM VJP (training): saves only (h_seq, c_seq) as
+# residuals and hoists the dW_hh reduction OUT of the backward scan into one
+# large matmul — XLA's scan autodiff runs a weight-gradient matmul inside
+# every backward step. Grad-checked against autodiff (tests/test_rnn.py).
+_CUSTOM_VJP = os.environ.get("SB_LSTM_CUSTOM_VJP", "0") == "1"
+
+
+def set_custom_vjp(flag: bool):
+    global _CUSTOM_VJP
+    _CUSTOM_VJP = flag
 # opt-in fused Pallas BLSTM kernel (inference; TPU only)
 _PALLAS_BLSTM = os.environ.get("SB_PALLAS_BLSTM", "0") == "1"
 
@@ -93,7 +103,10 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False,
     hidden = params["w_hh"].shape[0]
     gates_x = x @ params["w_ih"] + params["b"]  # [..., T, 4H] one big matmul
     lead = x.shape[:-2]
-    mixed = params["w_hh"].dtype == jnp.bfloat16
+    # bf16 anywhere (weights at apply, or activations at init time when the
+    # params are still fp32) -> fp32 carry
+    mixed = (params["w_hh"].dtype == jnp.bfloat16
+             or x.dtype == jnp.bfloat16)
     carry_dtype = jnp.float32 if mixed else x.dtype
     state_dtype = x.dtype if h0 is None else h0.dtype
     if h0 is None:
@@ -108,6 +121,13 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False,
         return (h1.astype(x.dtype)[..., None, :],
                 (h1.astype(state_dtype), c1.astype(state_dtype)))
 
+    if _CUSTOM_VJP and not reverse:
+        x_t = jnp.moveaxis(x, -2, 0)     # [T, ..., C] scan-major
+        ys, hT, cT = lstm_cvjp(params["w_ih"], params["w_hh"], params["b"],
+                               x_t, h0, c0)
+        return (jnp.moveaxis(ys, 0, -2),
+                (hT.astype(state_dtype), cT.astype(state_dtype)))
+
     def step(carry, gx):
         h, c = carry
         h, c = _cell(h, c, gx, params["w_hh"], hidden)
@@ -119,6 +139,129 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False,
                                 unroll=min(unroll, x.shape[-2]))
     y = jnp.moveaxis(ys, 0, -2)
     return y, (hT.astype(state_dtype), cT.astype(state_dtype))
+
+
+# ------------------------- custom-VJP LSTM core -------------------------
+#
+# One direction, scan over axis 0 of gates-major inputs. The forward is
+# numerically IDENTICAL to the lax.scan path above (same mixed-precision
+# casts); the backward differs from XLA's scan autodiff in two ways:
+#   1. residuals are only (h_seq, c_seq) — gates are recomputed from them
+#      (one small matmul per backward step, vs saving 4H activations);
+#   2. dW_hh = h_prevᵀ @ dgates is ONE large MXU matmul after the backward
+#      scan instead of a rank-update inside every sequential step.
+
+
+def _gate_fwd(gx_t, h_prev, c_prev, w_hh, hidden, mixed):
+    """Recompute one step's gate activations exactly as the primal did.
+    Returns (i, f, g, o, c_t, h_t)."""
+    if mixed:
+        g_pre = gx_t.astype(jnp.float32) + jnp.matmul(
+            h_prev.astype(w_hh.dtype), w_hh,
+            preferred_element_type=jnp.float32)
+        if _BF16_GATES:
+            g_pre = g_pre.astype(jnp.bfloat16)
+    else:
+        g_pre = gx_t + h_prev @ w_hh
+    i = jax.nn.sigmoid(g_pre[..., :hidden])
+    f = jax.nn.sigmoid(g_pre[..., hidden:2 * hidden])
+    g = jnp.tanh(g_pre[..., 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(g_pre[..., 3 * hidden:])
+    c_t = (f * c_prev).astype(c_prev.dtype) + i * g
+    h_t = o * jnp.tanh(c_t.astype(g_pre.dtype))
+    return i, f, g, o, c_t, h_t
+
+
+def _lstm_core(w_ih, w_hh, b, x, h0, c0):
+    """(y [T, ..., H] in x.dtype, hT, cT) — scan-major x [T, ..., C]."""
+    hidden = w_hh.shape[0]
+    mixed = w_hh.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16
+    gates_x = x @ w_ih + b
+
+    def step(carry, gx):
+        h, c = carry
+        *_, c_t, h_t = _gate_fwd(gx, h, c, w_hh, hidden, mixed)
+        h_t = h_t.astype(h.dtype)
+        # residual h in the recurrence-matmul dtype (exact: bf16 h round-
+        # trips through the f32 carry); c must stay full precision
+        return (h_t, c_t), (h_t.astype(x.dtype), h_t.astype(w_hh.dtype), c_t)
+
+    (hT, cT), (ys, h_seq, c_seq) = jax.lax.scan(step, (h0, c0), gates_x)
+    return (ys, hT, cT), (h_seq, c_seq)
+
+
+@jax.custom_vjp
+def lstm_cvjp(w_ih, w_hh, b, x, h0, c0):
+    out, _ = _lstm_core(w_ih, w_hh, b, x, h0, c0)
+    return out
+
+
+def _lstm_cvjp_fwd(w_ih, w_hh, b, x, h0, c0):
+    out, (h_seq, c_seq) = _lstm_core(w_ih, w_hh, b, x, h0, c0)
+    return out, (w_ih, w_hh, b, x, h0, c0, h_seq, c_seq)
+
+
+def _lstm_cvjp_bwd(res, cts):
+    w_ih, w_hh, b, x, h0, c0, h_seq, c_seq = res
+    dy, dhT, dcT = cts
+    hidden = w_hh.shape[0]
+    mixed = w_hh.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16
+    f32 = jnp.float32
+    # shifted-by-one state sequences (value entering step t); h in the
+    # matmul dtype like the saved residuals
+    h_prev = jnp.concatenate([h0[None].astype(h_seq.dtype), h_seq[:-1]],
+                             axis=0)
+    c_prev = jnp.concatenate([c0[None].astype(c_seq.dtype), c_seq[:-1]],
+                             axis=0)
+    gates_x = x @ w_ih + b              # recomputed, not saved
+
+    w_hh_t = w_hh.T
+
+    gdt = jnp.bfloat16 if (mixed and _BF16_GATES) else x.dtype
+
+    def step(carry, inp):
+        dh_next, dc_next = carry        # f32 cotangents
+        gx_t, hp, cp, c_t, dy_t = inp
+        i, f, g, o, _, _ = _gate_fwd(gx_t, hp, cp, w_hh, hidden, mixed)
+        i, f, g, o = (a.astype(f32) for a in (i, f, g, o))
+        # primal evaluated tanh on the gdt-cast cell state — recompute at
+        # the same point so the backward differentiates the actual primal
+        tc = jnp.tanh(c_t.astype(gdt)).astype(f32)
+        dh = dy_t.astype(f32) + dh_next
+        do = dh * tc
+        dc = dc_next + dh * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate([
+            dc * g * i * (1.0 - i),
+            dc * cp.astype(f32) * f * (1.0 - f),
+            dc * i * (1.0 - g * g),
+            do * o * (1.0 - o)], axis=-1)
+        if mixed:
+            dh_prev = jnp.matmul(dgates.astype(w_hh.dtype), w_hh_t,
+                                 preferred_element_type=f32)
+        else:
+            dh_prev = dgates @ w_hh_t
+        dc_prev = dc * f
+        return (dh_prev, dc_prev), dgates.astype(x.dtype)
+
+    init = (dhT.astype(f32), dcT.astype(f32))
+    inputs = (gates_x, h_prev, c_prev, c_seq, dy)
+    (dh0, dc0), dgates_seq = jax.lax.scan(step, init, inputs, reverse=True)
+
+    # weight/input gradients as single large matmuls (the win vs scan AD)
+    dgf = dgates_seq.reshape(-1, 4 * hidden)
+    dw_hh = jnp.matmul(
+        h_prev.reshape(-1, hidden).T.astype(dgates_seq.dtype), dgf,
+        preferred_element_type=f32).astype(w_hh.dtype)
+    dw_ih = jnp.matmul(
+        x.reshape(-1, x.shape[-1]).T, dgf,
+        preferred_element_type=f32).astype(w_ih.dtype)
+    db = jnp.sum(dgf.astype(f32), axis=0).astype(b.dtype)
+    dx = jnp.matmul(dgates_seq, w_ih.T,
+                    preferred_element_type=f32).astype(x.dtype)
+    return (dw_ih, dw_hh, db, dx, dh0.astype(h0.dtype), dc0.astype(c0.dtype))
+
+
+lstm_cvjp.defvjp(_lstm_cvjp_fwd, _lstm_cvjp_bwd)
 
 
 def init_blstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
@@ -148,6 +291,21 @@ def blstm(params, x, unroll: int | None = None):
     fwd, bwd = params["fwd"], params["bwd"]
     hidden = fwd["w_hh"].shape[0]
     t = x.shape[-2]
+    if _CUSTOM_VJP:
+        # two custom-VJP passes (fwd + time-reversed) instead of the fused
+        # 2-direction scan: same total work; the backward-scan savings of
+        # lstm_cvjp apply to both directions
+        cdt = (jnp.float32 if (fwd["w_hh"].dtype == jnp.bfloat16
+                               or x.dtype == jnp.bfloat16) else x.dtype)
+        lead = x.shape[:-2]
+        z0 = jnp.zeros(lead + (hidden,), cdt)
+        x_t = jnp.moveaxis(x, -2, 0)
+        yf, _, _ = lstm_cvjp(fwd["w_ih"], fwd["w_hh"], fwd["b"], x_t, z0, z0)
+        yb, _, _ = lstm_cvjp(bwd["w_ih"], bwd["w_hh"], bwd["b"],
+                             jnp.flip(x_t, 0), z0, z0)
+        return jnp.concatenate(
+            [jnp.moveaxis(yf, 0, -2),
+             jnp.flip(jnp.moveaxis(yb, 0, -2), -2)], axis=-1)
     w_ih = jnp.stack([fwd["w_ih"], bwd["w_ih"]])      # [2, C, 4H]
     w_hh = jnp.stack([fwd["w_hh"], bwd["w_hh"]])      # [2, H, 4H]
     b = jnp.stack([fwd["b"], bwd["b"]])               # [2, 4H]
@@ -155,7 +313,7 @@ def blstm(params, x, unroll: int | None = None):
     gates_x = jnp.einsum("d...tc,dch->d...th", xx, w_ih) + \
         b.reshape((2,) + (1,) * (x.ndim - 1) + (4 * hidden,))
     lead = xx.shape[:-2]
-    mixed = w_hh.dtype == jnp.bfloat16
+    mixed = w_hh.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16
     carry_dtype = jnp.float32 if mixed else x.dtype
     h0 = jnp.zeros(lead + (hidden,), carry_dtype)
 

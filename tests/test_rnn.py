@@ -1,4 +1,5 @@
 """LSTM op parity tests against torch (CPU oracle only — never a runtime dep)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -68,3 +69,73 @@ def test_init_distributions():
     assert np.abs(np.asarray(p["b"])).max() <= 2 * bound
     bp = init_blstm_params(jax.random.PRNGKey(1), 32, 64)
     assert set(bp) == {"fwd", "bwd"}
+
+
+def test_custom_vjp_matches_autodiff_f32(rng):
+    """SB_LSTM_CUSTOM_VJP path: primal AND gradients must match the lax.scan
+    autodiff path (f32: near-exact)."""
+    import sound_bubble_tpu.ops.rnn as rnn
+
+    p = rnn.init_lstm_params(jax.random.PRNGKey(0), 6, 5)
+    bp = rnn.init_blstm_params(jax.random.PRNGKey(1), 6, 5)
+    x = jnp.asarray(rng.standard_normal((3, 11, 6)).astype(np.float32))
+
+    def loss_l(params, x):
+        y, (hT, cT) = rnn.lstm(params, x)
+        return jnp.sum(y ** 2) + jnp.sum(hT * cT)
+
+    def loss_b(params, x):
+        return jnp.sum(rnn.blstm(params, x) ** 2)
+
+    try:
+        rnn.set_custom_vjp(False)
+        ref_l = jax.grad(loss_l, argnums=(0, 1))(p, x)
+        ref_v = loss_l(p, x)
+        ref_b = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+        rnn.set_custom_vjp(True)
+        got_l = jax.grad(loss_l, argnums=(0, 1))(p, x)
+        got_v = loss_l(p, x)
+        got_b = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+    finally:
+        rnn.set_custom_vjp(False)
+
+    assert got_v == pytest.approx(float(ref_v), rel=1e-6)
+    for ref, got in ((ref_l, got_l), (ref_b, got_b)):
+        for rl, gl in zip(jax.tree_util.tree_leaves(ref),
+                          jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_custom_vjp_matches_autodiff_mixed(rng):
+    """Mixed precision (bf16 weights, fp32 carry): the custom backward
+    differentiates the same primal as autodiff — grads agree to bf16
+    cotangent-storage tolerance."""
+    import sound_bubble_tpu.ops.rnn as rnn
+    from sound_bubble_tpu.utils import cast_bf16
+
+    p = cast_bf16(rnn.init_lstm_params(jax.random.PRNGKey(2), 6, 5))
+    x = jnp.asarray(rng.standard_normal((2, 9, 6)).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+
+    def loss(params, x):
+        y, _ = rnn.lstm(params, x)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    try:
+        rnn.set_custom_vjp(False)
+        ref_v = float(loss(p, x))
+        ref = jax.grad(loss, argnums=(0, 1))(p, x)
+        rnn.set_custom_vjp(True)
+        got_v = float(loss(p, x))
+        got = jax.grad(loss, argnums=(0, 1))(p, x)
+    finally:
+        rnn.set_custom_vjp(False)
+
+    assert got_v == pytest.approx(ref_v, rel=1e-5)  # identical primal
+    for rl, gl in zip(jax.tree_util.tree_leaves(ref),
+                      jax.tree_util.tree_leaves(got)):
+        rl, gl = np.asarray(rl, np.float32), np.asarray(gl, np.float32)
+        denom = np.abs(rl).max() + 1e-6
+        assert np.abs(gl - rl).max() / denom < 0.03, \
+            (np.abs(gl - rl).max(), denom)

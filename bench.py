@@ -175,8 +175,18 @@ def main():
         single_ms = fused_ms  # serve single streams through the fused kernel
     batch_ms = _measure(net, cfg, batch=SERVING_BATCH)
     net16 = make_net({**PROD_MODEL, "compute_dtype": "bf16"})
-    batch_ms_bf16 = _measure(net16, net16.cfg, batch=SERVING_BATCH,
-                             bf16=True)
+    # serving candidates: (batch, ms, tag); bf16 halves activation HBM so a
+    # 2x batch may fit and lift throughput further
+    candidates = [(SERVING_BATCH, batch_ms, "f32")]
+    for b in (SERVING_BATCH, 2 * SERVING_BATCH):
+        try:
+            candidates.append(
+                (b, _measure(net16, net16.cfg, batch=b, bf16=True), "bf16"))
+        except Exception as e:
+            print(f"# serving bf16 batch {b} unavailable: "
+                  f"{str(e)[:80]}", flush=True)
+    best_batch, best_ms, best_tag = max(
+        candidates, key=lambda c: c[0] * 8.0 / c[1])
     train_ms, train_ingest = _measure_train(net16, net16.cfg)
 
     # edge conv_lstm config single-stream (fused kernel; VERDICT r2 #5)
@@ -186,10 +196,9 @@ def main():
         edge_ms = _measure(edge_net, edge_net.cfg, batch=1)
 
     single_rtf = 8.0 / single_ms
-    # headline throughput serves in bf16 when faster (fp32 number reported
-    # alongside; bf16 is the standard TPU serving precision)
-    best_batch_ms = min(batch_ms, batch_ms_bf16)
-    throughput_rtf = SERVING_BATCH * 8.0 / best_batch_ms
+    # headline throughput = best (batch, precision) candidate; bf16 is the
+    # standard TPU serving precision, fp32 reported alongside
+    throughput_rtf = best_batch * 8.0 / best_ms
     baseline_rtf = 8.0 / 6.36  # reference: 6.36 ms per 8 ms chunk on edge CPU
     print(json.dumps({
         "metric": "streaming_rtf_per_chip",
@@ -200,8 +209,9 @@ def main():
         "single_stream_ms_per_8ms_chunk": round(single_ms, 4),
         "single_stream_ms_fused_kernel": (round(fused_ms, 4)
                                           if fused_ms is not None else None),
-        "serving_batch": SERVING_BATCH,
-        "batch_ms_per_chunk": round(best_batch_ms, 4),
+        "serving_batch": best_batch,
+        "serving_precision": best_tag,
+        "batch_ms_per_chunk": round(best_ms, 4),
         "batch_ms_per_chunk_f32": round(batch_ms, 4),
         "train_step_ms": round(train_ms, 1),
         "train_ingest_x_realtime": round(train_ingest, 1),

@@ -19,6 +19,7 @@ compatibility, the math is identical — tests fold torch's two biases).
 """
 from __future__ import annotations
 
+import math
 import os
 
 import jax
@@ -37,11 +38,47 @@ _BF16_GATES = os.environ.get("SB_LSTM_BF16_GATES", "1") == "1"
 # large matmul — XLA's scan autodiff runs a weight-gradient matmul inside
 # every backward step. Grad-checked against autodiff (tests/test_rnn.py).
 _CUSTOM_VJP = os.environ.get("SB_LSTM_CUSTOM_VJP", "0") == "1"
+# opt-in Pallas training recurrence (implies the custom VJP): the fwd/bwd
+# scans run as single fused kernels with (h, c) resident in VMEM
+# (ops/pallas/lstm_train_kernel.py); weight grads stay as one large matmul.
+_PALLAS_TRAIN = os.environ.get("SB_LSTM_PALLAS_TRAIN", "0") == "1"
 
 
 def set_custom_vjp(flag: bool):
     global _CUSTOM_VJP
     _CUSTOM_VJP = flag
+
+
+def set_pallas_train(flag: bool):
+    global _PALLAS_TRAIN
+    if flag:
+        global _CUSTOM_VJP
+        _CUSTOM_VJP = True
+    _PALLAS_TRAIN = flag
+
+
+def _cvjp_impl():
+    """The active custom-VJP LSTM core (scan-based or Pallas-fused)."""
+    if _PALLAS_TRAIN and _BF16_GATES:
+        from sound_bubble_tpu.ops.pallas.lstm_train_kernel import (
+            lstm_pallas_train)
+        return lstm_pallas_train
+    return lstm_cvjp
+
+
+def _run_cvjp(w_ih, w_hh, b, x_t, h0, c0):
+    """Apply the custom-VJP core to scan-major x [T, lead..., C],
+    flattening the lead dims to one row axis for the Pallas kernel."""
+    impl = _cvjp_impl()
+    if impl is lstm_cvjp or x_t.ndim == 3:
+        return impl(w_ih, w_hh, b, x_t, h0, c0)
+    t = x_t.shape[0]
+    lead = x_t.shape[1:-1]
+    r = math.prod(lead)
+    ys, hT, cT = impl(w_ih, w_hh, b, x_t.reshape(t, r, x_t.shape[-1]),
+                      h0.reshape(r, -1), c0.reshape(r, -1))
+    return (ys.reshape((t,) + lead + (-1,)), hT.reshape(lead + (-1,)),
+            cT.reshape(lead + (-1,)))
 # opt-in fused Pallas BLSTM kernel (inference; TPU only)
 _PALLAS_BLSTM = os.environ.get("SB_PALLAS_BLSTM", "0") == "1"
 
@@ -123,7 +160,7 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False,
 
     if _CUSTOM_VJP and not reverse:
         x_t = jnp.moveaxis(x, -2, 0)     # [T, ..., C] scan-major
-        ys, hT, cT = lstm_cvjp(params["w_ih"], params["w_hh"], params["b"],
+        ys, hT, cT = _run_cvjp(params["w_ih"], params["w_hh"], params["b"],
                                x_t, h0, c0)
         return (jnp.moveaxis(ys, 0, -2),
                 (hT.astype(state_dtype), cT.astype(state_dtype)))
@@ -300,8 +337,8 @@ def blstm(params, x, unroll: int | None = None):
         lead = x.shape[:-2]
         z0 = jnp.zeros(lead + (hidden,), cdt)
         x_t = jnp.moveaxis(x, -2, 0)
-        yf, _, _ = lstm_cvjp(fwd["w_ih"], fwd["w_hh"], fwd["b"], x_t, z0, z0)
-        yb, _, _ = lstm_cvjp(bwd["w_ih"], bwd["w_hh"], bwd["b"],
+        yf, _, _ = _run_cvjp(fwd["w_ih"], fwd["w_hh"], fwd["b"], x_t, z0, z0)
+        yb, _, _ = _run_cvjp(bwd["w_ih"], bwd["w_hh"], bwd["b"],
                              jnp.flip(x_t, 0), z0, z0)
         return jnp.concatenate(
             [jnp.moveaxis(yf, 0, -2),

@@ -329,6 +329,19 @@ def blstm(params, x, unroll: int | None = None):
     hidden = fwd["w_hh"].shape[0]
     t = x.shape[-2]
     if _CUSTOM_VJP:
+        x_t = jnp.moveaxis(x, -2, 0)
+        if _PALLAS_TRAIN and _BF16_GATES:
+            # fused-direction Pallas kernel: one recurrence matmul at
+            # K = 2H (full MXU width), half the sequential steps, and the
+            # time-mirrored direction handled by index maps (no flips)
+            from sound_bubble_tpu.ops.pallas.lstm_train_kernel import (
+                blstm_pallas_train)
+            lead = x_t.shape[1:-1]
+            r = math.prod(lead)
+            y = blstm_pallas_train(fwd, bwd,
+                                   x_t.reshape(x_t.shape[0], r, -1))
+            return jnp.moveaxis(
+                y.reshape((x_t.shape[0],) + lead + (-1,)), 0, -2)
         # two custom-VJP passes (fwd + time-reversed) instead of the fused
         # 2-direction scan: same total work; the backward-scan savings of
         # lstm_cvjp apply to both directions
@@ -336,7 +349,6 @@ def blstm(params, x, unroll: int | None = None):
                                or x.dtype == jnp.bfloat16) else x.dtype)
         lead = x.shape[:-2]
         z0 = jnp.zeros(lead + (hidden,), cdt)
-        x_t = jnp.moveaxis(x, -2, 0)
         yf, _, _ = _run_cvjp(fwd["w_ih"], fwd["w_hh"], fwd["b"], x_t, z0, z0)
         yb, _, _ = _run_cvjp(bwd["w_ih"], bwd["w_hh"], bwd["b"],
                              jnp.flip(x_t, 0), z0, z0)

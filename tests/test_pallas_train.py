@@ -137,6 +137,61 @@ def test_set_pallas_train_routes_lstm_and_blstm(rng):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_blstm_pallas_f32_grads_match_autodiff(rng):
+    """Fused-direction BLSTM kernel: primal + grads vs autodiff through the
+    stacked-direction scan path (f32). Pins the mirrored-time index maps
+    and the per-direction weight-gradient reductions."""
+    from sound_bubble_tpu.ops.pallas.lstm_train_kernel import (
+        blstm_pallas_train)
+
+    t, r, c, h = 7, 20, 6, 8
+    bp = rnn.init_blstm_params(jax.random.PRNGKey(6), c, h)
+    x_t = jnp.asarray(rng.standard_normal((t, r, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((t, r, 2 * h)).astype(np.float32))
+
+    def loss_ref(bp, xt):
+        y = rnn.blstm(bp, jnp.moveaxis(xt, 0, -2))
+        return jnp.sum(jnp.moveaxis(y, -2, 0) * w)
+
+    def loss_pallas(bp, xt):
+        return jnp.sum(blstm_pallas_train(bp["fwd"], bp["bwd"], xt) * w)
+
+    ref_v, ref_g = jax.value_and_grad(loss_ref, argnums=(0, 1))(bp, x_t)
+    got_v, got_g = jax.value_and_grad(loss_pallas, argnums=(0, 1))(bp, x_t)
+    assert float(got_v) == pytest.approx(float(ref_v), rel=1e-5)
+    for rl, gl in zip(jax.tree_util.tree_leaves(ref_g),
+                      jax.tree_util.tree_leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_blstm_pallas_mixed_grads(rng):
+    """Mixed precision (bf16 weights/activations): fused-direction BLSTM
+    grads within the same 3%-of-max band as the single-direction kernel."""
+    from sound_bubble_tpu.ops.pallas.lstm_train_kernel import (
+        blstm_pallas_train)
+
+    t, r, c, h = 9, 20, 6, 8
+    bp = cast_bf16(rnn.init_blstm_params(jax.random.PRNGKey(7), c, h))
+    x_t = jnp.asarray(rng.standard_normal((t, r, c)).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+
+    def loss_ref(bp):
+        y = rnn.blstm(bp, jnp.moveaxis(x_t, 0, -2))
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_pallas(bp):
+        y = blstm_pallas_train(bp["fwd"], bp["bwd"], x_t)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(loss_ref)(bp)
+    got_v, got_g = jax.value_and_grad(loss_pallas)(bp)
+    assert float(got_v) == pytest.approx(float(ref_v), rel=0.02)
+    for rl, gl in zip(jax.tree_util.tree_leaves(ref_g),
+                      jax.tree_util.tree_leaves(got_g)):
+        assert _rel_max_err(gl, rl) < 0.03
+
+
 def test_pallas_train_full_model_grads(rng):
     """End to end: production-architecture model (tiny dims) trains with the
     Pallas kernels — loss/grads match the scan path."""

@@ -52,6 +52,24 @@ def eval_tflite(models_dir, mixture, names, buffers):
     return y, (time.time() - t1) / RUNS
 
 
+def eval_onnx(models_dir, mixture, names, buffers):
+    """ONNX artifact through the in-image numpy evaluator (the reference
+    checks its export with onnxruntime, to_onnx.py:163-190; same role)."""
+    from sound_bubble_tpu.runtime.onnx_eval import OnnxEvaluator
+
+    path = os.path.join(models_dir, "ONNX", "model.onnx")
+    if not os.path.exists(path):
+        return None, None
+    ev = OnnxEvaluator(path)
+    feeds = {"mixture": mixture}
+    feeds.update({n: b for n, b in zip(names, buffers)})
+    y = ev.run(feeds)["filtered_output"]
+    t1 = time.time()
+    for _ in range(RUNS):
+        y = ev.run(feeds)["filtered_output"]
+    return y, (time.time() - t1) / RUNS
+
+
 def eval_native(models_dir, mixture, names, buffers, weights="weights.bin"):
     """Native C++ engine via its ctypes binding (see native/)."""
     import shutil
@@ -90,6 +108,8 @@ def main(args):
     results = {}
     print("[JAX/StableHLO]")
     results["jax"] = eval_jax(args.models_dir, mixture, names, buffers)
+    print("[ONNX numpy-eval]")
+    results["onnx"] = eval_onnx(args.models_dir, mixture, names, buffers)
     print("[TFLITE]")
     results["tflite"] = eval_tflite(args.models_dir, mixture, names, buffers)
     print("[NATIVE C++]")

@@ -1,18 +1,19 @@
 """Export a trained run for edge deployment + conformance fixtures.
 
-TPU-native equivalent of `/root/reference/edge/to_onnx.py` (no ONNX toolchain
-in this image; the portable artifacts are StableHLO and TFLite, plus a
-weights blob for the native C++ engine in `native/`):
+TPU-native equivalent of `/root/reference/edge/to_onnx.py`:
 
   python edge/export_model.py --run_dir runs/MYRUN --out_dir models
 
 Produces:
+  models/ONNX/model.onnx  (self-contained, jaxpr-lowered — the reference's
+                           primary interchange format, runtime/onnx_export.py)
   models/StableHLO/model.stablehlo (+ .meta.json)
   models/TFLite/model.tflite
   models/native/weights.bin + model_config.json
   models/test_data/replication_test/*.npy   (named single-step fixtures)
   models/test_data/streaming_test/e2e_*.npy (whole-signal fixtures)
-and verifies jax vs TFLite outputs (allclose 1e-4) with a timing loop.
+and verifies jax vs ONNX (in-image numpy evaluator) vs TFLite outputs
+(allclose 1e-4) with a timing loop.
 """
 import argparse
 import json
@@ -46,6 +47,10 @@ def main(args):
     print("Number of parameters:", n_params / 1e6, "M")
 
     out = args.out_dir
+    from sound_bubble_tpu.runtime.onnx_export import export_onnx
+    onnx_path = export_onnx(net, params,
+                            os.path.join(out, "ONNX", "model.onnx"))
+    print("[INFO] Converted to onnx!")
     export_stablehlo(net, params,
                      os.path.join(out, "StableHLO", "model.stablehlo"))
     print("[INFO] Exported StableHLO")
@@ -93,6 +98,14 @@ def main(args):
 
     gold = np.load(os.path.join(fix_dir, "filtered_output.npy"))
     assert np.allclose(np.asarray(ref[0]), gold, atol=1e-5)
+
+    from sound_bubble_tpu.runtime.onnx_eval import OnnxEvaluator
+    ev = OnnxEvaluator(onnx_path)
+    feeds = {"mixture": mixture}
+    feeds.update({n: b for n, b in zip(names, buffers)})
+    onnx_out = ev.run(feeds)["filtered_output"]
+    print("jax vs ONNX allclose:",
+          np.allclose(onnx_out, np.asarray(ref[0]), atol=1e-4))
 
     if tflite_path:
         import tensorflow as tf

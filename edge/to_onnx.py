@@ -1,8 +1,11 @@
 """Reference-named export entry point.
 
-The reference's `edge/to_onnx.py` produced TorchJIT + ONNX artifacts; this
-image ships no ONNX toolchain, and the TPU-native export path is StableHLO +
-TFLite + a native weights blob — see `edge/export_model.py`, which this
+The reference's `edge/to_onnx.py` traces the streaming model with
+`torch.onnx.export` (reference edge/to_onnx.py:116-136). Here the same
+`models/ONNX/model.onnx` artifact (identical `mixture`/`out::` I/O naming)
+is produced by lowering the model's own jaxpr (runtime/onnx_export.py, no
+ONNX toolchain needed) alongside the TPU-native formats: StableHLO, TFLite,
+and the native-engine weights blob — see `edge/export_model.py`, which this
 script forwards to (same fixtures/conformance outputs as the reference).
 """
 import sys

@@ -70,10 +70,9 @@ def export_stablehlo(net, params, path: str, dis_embed=None) -> str:
                    "formats": {
                        "stablehlo": "this artifact",
                        "tflite": "see TFLite/model.tflite (export_tflite)",
-                       "onnx": "NOT EXPORTED: no ONNX toolchain in this "
-                               "image; convert via StableHLO->ONNX or "
-                               "jax2tf SavedModel->tf2onnx offline "
-                               "(reference edge/to_onnx.py:116-136)"}},
+                       "onnx": "see ONNX/model.onnx (runtime/onnx_export.py"
+                               " — jaxpr-lowered, opset 17, validated by the"
+                               " in-image numpy evaluator)"}},
                   f, indent=2)
     return path
 

@@ -139,15 +139,40 @@ def _measure_train(net, cfg, batch=8, seconds=2.5, steps=8):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    run = jax.jit(step, donate_argnums=(0, 1))
-    params, opt_state, loss = run(params, opt_state)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, loss = run(params, opt_state)
-    jax.block_until_ready(loss)
-    ms = (time.perf_counter() - t0) / steps * 1e3
-    return ms, batch * seconds / (ms / 1e3)  # (ms/step, audio-sec ingested/s)
+    import sound_bubble_tpu.ops.rnn as rnn
+
+    def time_step():
+        run = jax.jit(step, donate_argnums=(0, 1))
+        p, o, loss = run(jax.tree.map(jnp.copy, params),
+                         jax.tree.map(jnp.copy, opt_state))
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            p, o, loss = run(p, o)
+        jax.block_until_ready(loss)
+        return (time.perf_counter() - t0) / steps * 1e3
+
+    # training-path candidates (flags are read at trace time, so each gets
+    # a fresh jit): plain autodiff scan, custom-VJP scan (dW_hh hoisted out
+    # of the backward scan), fused Pallas fwd/bwd recurrence kernels
+    saved = (rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN)
+    results = {}
+    try:
+        for tag in ("autodiff", "cvjp", "pallas"):
+            rnn.set_custom_vjp(tag != "autodiff")
+            rnn.set_pallas_train(tag == "pallas")
+            try:
+                results[tag] = time_step()
+            except Exception as e:
+                print(f"# train candidate {tag} unavailable: {str(e)[:90]}",
+                      flush=True)
+    finally:
+        rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN = saved
+    tag, ms = min(results.items(), key=lambda kv: kv[1])
+    print("# train candidates (ms/step): "
+          + ", ".join(f"{k}={v:.1f}" for k, v in results.items()), flush=True)
+    # (ms/step, audio-sec ingested/s, winning path)
+    return ms, batch * seconds / (ms / 1e3), tag
 
 
 # raspberrypi/orangpi edge model (conv_lstm intra,
@@ -187,7 +212,7 @@ def main():
                   f"{str(e)[:80]}", flush=True)
     best_batch, best_ms, best_tag = max(
         candidates, key=lambda c: c[0] * 8.0 / c[1])
-    train_ms, train_ingest = _measure_train(net16, net16.cfg)
+    train_ms, train_ingest, train_tag = _measure_train(net16, net16.cfg)
 
     # edge conv_lstm config single-stream (fused kernel; VERDICT r2 #5)
     edge_net = make_net(EDGE_MODEL, conditional=False)
@@ -215,6 +240,7 @@ def main():
         "batch_ms_per_chunk_f32": round(batch_ms, 4),
         "train_step_ms": round(train_ms, 1),
         "train_ingest_x_realtime": round(train_ingest, 1),
+        "train_path": train_tag,
         "edge_single_stream_ms_per_8ms_chunk": round(edge_ms, 4),
         "device": str(jax.devices()[0]),
     }))

@@ -154,11 +154,19 @@ def _measure_train(net, cfg, batch=8, seconds=2.5, steps=8):
 
     # training-path candidates (flags are read at trace time, so each gets
     # a fresh jit): plain autodiff scan, custom-VJP scan (dW_hh hoisted out
-    # of the backward scan), fused Pallas fwd/bwd recurrence kernels
+    # of the backward scan), fused Pallas fwd/bwd recurrence kernels.
+    # Default is autodiff only: a TPU v5e sweep (2026-08-17, batch 8 bf16)
+    # measured autodiff 254.5 / cvjp 255.7 / pallas 254.6 ms — the step is
+    # not recurrence-bound, and each extra candidate costs a multi-minute
+    # cold compile over the tunnel. SB_BENCH_TRAIN_PATHS=autodiff,cvjp,pallas
+    # re-enables the full sweep.
+    import os
+    cand = tuple(os.environ.get("SB_BENCH_TRAIN_PATHS",
+                                "autodiff").split(","))
     saved = (rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN)
     results = {}
     try:
-        for tag in ("autodiff", "cvjp", "pallas"):
+        for tag in cand:
             rnn.set_custom_vjp(tag != "autodiff")
             rnn.set_pallas_train(tag == "pallas")
             try:

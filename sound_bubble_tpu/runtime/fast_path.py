@@ -5,9 +5,11 @@ for every config, but the block stack becomes ~B*(F+1) XLA-scan LSTM steps
 whose loop overhead dominates single-stream latency. `FusedStreamer` runs the
 SAME math with the whole stack in one Pallas kernel
 (ops/pallas/stack_kernel.py); the STFT/feature/conv ends stay in XLA (they
-are parallel MXU work). Supported: `use_attn=False, conv_lstm=False,
-stft_back_pad=0` — the production separator config. Output parity with the
-model forward is tested to 1e-4 (tests/test_fast_path.py).
+are parallel MXU work). Every config is covered: non-attention models run
+the whole stack in one kernel; `use_attn=True` models run one kernel per
+block with the local attention (parallel MXU matmuls, K/V rings too large
+for VMEM) between kernels in XLA. Output parity with the model forward is
+tested to 1e-4 (tests/test_fast_path.py).
 
 Reference anchor: this replaces the reference's per-chunk ONNX/TFLite loop
 (`/root/reference/edge/causal_infer.py:75-87`) as the latency-serving path.
@@ -19,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from sound_bubble_tpu.models.tfgridnet.model import (
-    CausalConv2d, CausalDeconv2d, DisEmbed, LayerNorm, Linear, init_state,
+    AttnProj, CausalConv2d, CausalDeconv2d, DisEmbed, LayerNorm, Linear,
+    PReLU, _local_attention, init_state,
 )
 from sound_bubble_tpu.ops.features import spatial_features
 from sound_bubble_tpu.ops.pallas.stack_kernel import (
@@ -34,11 +37,6 @@ class FusedStreamer:
 
     def __init__(self, net, params, dis_embed=None, interpret: bool = False):
         cfg = net.cfg
-        if cfg.use_attn:
-            raise ValueError(
-                "FusedStreamer supports use_attn=False configs (incl. "
-                "conv_lstm and stft_back_pad>0); use ModelWrapper for "
-                "attention models")
         self.cfg = cfg
         self._params = params
         self._interpret = interpret
@@ -65,6 +63,33 @@ class FusedStreamer:
 
     def set_dis_embed(self, dis_embed):
         self._film = self._precompute_film(dis_embed)
+
+    def _attention(self, x, i, buf):
+        """Local causal attention for block i at streaming T=1 — the same
+        math as GridNetBlock's attn section (models/tfgridnet/model.py:407-423,
+        reference `tfgridnet_causal.py:643-744`). x: [F, C] post-inter
+        features; buf holds the block's K_buf/V_buf rings. Returns
+        (x', {'K_buf': ..., 'V_buf': ...})."""
+        cfg, params = self.cfg, self._params
+        bp = params[f"block{i}"]
+        F, C = x.shape
+        W, vd = cfg.local_atten_len, C // cfg.L
+        xa = x[None, None]                               # [1, 1, F, C]
+        q = AttnProj(cfg.L, cfg.E).apply({"params": bp["attn_q"]}, xa)
+        k = AttnProj(cfg.L, cfg.E).apply({"params": bp["attn_k"]}, xa)
+        v = AttnProj(cfg.L, vd).apply({"params": bp["attn_v"]}, xa)
+        k_full = jnp.concatenate([buf["K_buf"], k], axis=2)  # [1, L, W, F*E]
+        v_full = jnp.concatenate([buf["V_buf"], v], axis=2)
+        o = _local_attention(q, k_full, v_full, W)       # [1, L, 1, F*vd]
+        o = o.reshape(1, cfg.L, 1, F, vd)
+        o = o.transpose(0, 2, 3, 1, 4).reshape(1, 1, F, C)
+        o = Linear(C).apply({"params": bp["attn_out_proj"]}, o)
+        o = PReLU().apply({"params": bp["attn_out_act"]}, o)
+        o = LayerNorm(F * C).apply({"params": bp["attn_out_norm"]},
+                                   o.reshape(1, 1, F * C))
+        return (x + o.reshape(F, C),
+                {"K_buf": k_full[:, :, -(W - 1):],
+                 "V_buf": v_full[:, :, -(W - 1):]})
 
     def reset(self):
         self.internal_state = None
@@ -96,12 +121,33 @@ class FusedStreamer:
         c0 = jnp.stack([state["gridnet_bufs"][f"buf{i}"]["c0"][0]
                         for i in range(cfg.B)])
         fw, fb_ = film if film is not None else (None, None)
-        x, h0n, c0n = gridnet_stack_step(
-            self._packed, h[0, 0], h0, c0, fw, fb_, eps=cfg.eps,
-            interpret=self._interpret)
-        next_state["gridnet_bufs"] = {
-            f"buf{i}": {"h0": h0n[i][None], "c0": c0n[i][None]}
-            for i in range(cfg.B)}
+        if not cfg.use_attn:
+            x, h0n, c0n = gridnet_stack_step(
+                self._packed, h[0, 0], h0, c0, fw, fb_, eps=cfg.eps,
+                interpret=self._interpret)
+            next_state["gridnet_bufs"] = {
+                f"buf{i}": {"h0": h0n[i][None], "c0": c0n[i][None]}
+                for i in range(cfg.B)}
+        else:
+            # attention configs: per-block fused kernel for the sequential
+            # intra/inter chains; the K/V rings (too large for VMEM across
+            # blocks) and the attention itself — parallel MXU matmuls with
+            # no dependent chain — stay in XLA between kernel calls.
+            x = h[0, 0]
+            new_bufs = {}
+            for i in range(cfg.B):
+                if i > 0 and film is not None:
+                    x = x * fw[i - 1] + fb_[i - 1]
+                pk = {k: (v if k == "lstm_down" else v[i:i + 1])
+                      for k, v in self._packed.items()}
+                x, h0b, c0b = gridnet_stack_step(
+                    pk, x, h0[i:i + 1], c0[i:i + 1], None, None,
+                    eps=cfg.eps, interpret=self._interpret)
+                x, buf_i = self._attention(x, i,
+                                           state["gridnet_bufs"][f"buf{i}"])
+                buf_i["h0"], buf_i["c0"] = h0b, c0b
+                new_bufs[f"buf{i}"] = buf_i
+            next_state["gridnet_bufs"] = new_bufs
 
         hfull = jnp.concatenate([state["deconv_buf"], x[None, None]], axis=1)
         next_state["deconv_buf"] = hfull[:, -2:]

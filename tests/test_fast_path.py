@@ -15,7 +15,8 @@ SMALL = dict(stft_chunk_size=32, stft_pad_size=16, num_ch=6, D=8, B=3, H=8,
 
 
 @pytest.mark.parametrize(
-    "variant", ["cond", "uncond", "masking", "conv_lstm", "back_pad"])
+    "variant", ["cond", "uncond", "masking", "conv_lstm", "back_pad",
+                "attn", "attn_conv"])
 def test_fused_matches_model(variant, rng):
     params_dict = dict(SMALL)
     conditional = variant != "uncond"
@@ -27,6 +28,13 @@ def test_fused_matches_model(variant, rng):
         params_dict.update(conv_lstm=True, lstm_down=5)
     elif variant == "back_pad":
         params_dict.update(stft_back_pad=8)
+    elif variant == "attn":
+        # per-block kernel + XLA attention hybrid; W smaller than the
+        # 8-chunk stream so the K/V ring wraps mid-test
+        params_dict.update(use_attn=True, local_atten_len=5)
+    elif variant == "attn_conv":
+        params_dict.update(use_attn=True, local_atten_len=5,
+                           conv_lstm=True, lstm_down=2)
     net = make_net(params_dict, conditional=conditional)
     cfg = net.cfg
     x = rng.standard_normal(
@@ -75,8 +83,3 @@ def test_fused_scan_matches_feed_loop(rng):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
-def test_fused_rejects_unsupported_configs():
-    net = make_net({**SMALL, "use_attn": True, "local_atten_len": 5},
-                   conditional=True)
-    with pytest.raises(ValueError):
-        FusedStreamer(net, {}, interpret=True)

@@ -297,6 +297,17 @@ def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
     if voice == "formant":
         from sound_bubble_tpu.datagen.voice import formant_voices
         voices = formant_voices(kv, (b, s), n_samples, sr)
+    elif voice == "mix":
+        # broadened source statistics: 75% Klatt-style formant voices,
+        # 25% harmonic quasi-speech, drawn per source — widens the timbre
+        # distribution the separator sees so suppression decisions rely on
+        # SPATIAL cues rather than the formant synthesizer's signature
+        from sound_bubble_tpu.datagen.voice import formant_voices
+        kv1, kv2, kc = jax.random.split(kv, 3)
+        pick = jax.random.bernoulli(kc, 0.75, (b, s))
+        voices = jnp.where(pick[:, :, None],
+                           formant_voices(kv1, (b, s), n_samples, sr),
+                           speechlike_voices(kv2, (b, s), n_samples, sr))
     else:
         voices = speechlike_voices(kv, (b, s), n_samples, sr)
     premix = fft_conv(voices[:, :, None, :], rirs,

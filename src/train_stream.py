@@ -294,9 +294,10 @@ if __name__ == "__main__":
     p.add_argument("--pool_bf16", action="store_true",
                    help="store the RIR pool in bf16 (halves HBM)")
     p.add_argument("--voice", default="formant",
-                   choices=("formant", "harmonic"),
-                   help="source model: Klatt-style formant voices (round 3) "
-                        "or the round-2 harmonic quasi-speech")
+                   choices=("formant", "harmonic", "mix"),
+                   help="source model: Klatt-style formant voices (round 3), "
+                        "the round-2 harmonic quasi-speech, or a 75/25 "
+                        "per-source mix of both (widest timbre coverage)")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="mixed-precision train step (bf16 activations, "

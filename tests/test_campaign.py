@@ -106,6 +106,20 @@ def test_batch_snr_exact():
         assert abs(snr - 2.0) < 1e-2, f"sample {i}: snr {snr}"
 
 
+def test_mix_voice_batch():
+    """voice='mix' (75/25 formant/harmonic per source) renders a finite,
+    normalized batch through the same jitted path."""
+    pool, _ = campaign.build_pool(
+        4, seed=1, sr=8000, rir_len=1024, order_range=(3, 6), verbose=False)
+    inputs, targets = campaign.make_batch(
+        jax.random.PRNGKey(2), pool, jnp.arange(4), n_samples=8000, sr=8000,
+        voice="mix")
+    mix = np.asarray(inputs["mixture"])
+    assert mix.shape == (4, 6, 8000)
+    assert np.isfinite(mix).all() and np.abs(mix).max() <= 1.0 + 1e-5
+    assert np.isfinite(np.asarray(targets["target"])).all()
+
+
 def test_voices_speechlike_stats():
     v = np.asarray(campaign.speechlike_voices(
         jax.random.PRNGKey(0), (4, 2), 16000, 8000))

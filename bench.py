@@ -154,28 +154,31 @@ def _measure_train(net, cfg, batch=8, seconds=2.5, steps=8):
 
     # training-path candidates (flags are read at trace time, so each gets
     # a fresh jit): plain autodiff scan, custom-VJP scan (dW_hh hoisted out
-    # of the backward scan), fused Pallas fwd/bwd recurrence kernels.
-    # Default is autodiff only: a TPU v5e sweep (2026-08-17, batch 8 bf16)
-    # measured autodiff 254.5 / cvjp 255.7 / pallas 254.6 ms — the step is
-    # not recurrence-bound, and each extra candidate costs a multi-minute
-    # cold compile over the tunnel. SB_BENCH_TRAIN_PATHS=autodiff,cvjp,pallas
-    # re-enables the full sweep.
+    # of the backward scan), fused Pallas fwd/bwd recurrence kernels, and
+    # the fused-scan path (in-scan gates + carried weight-grad accumulators,
+    # no [T,R,4H] stacking). Default is autodiff only: TPU v5e sweeps
+    # (2026-08-17, batch 8 bf16) measured autodiff 254.5-255.7 / cvjp 255.7
+    # / pallas 254.6 / fused 255.9 ms — all four recurrence formulations are
+    # throughput-neutral (the step is NOT recurrence-I/O-bound), and each
+    # extra candidate costs a multi-minute cold compile over the tunnel.
+    # SB_BENCH_TRAIN_PATHS=autodiff,cvjp,pallas,fused re-enables the sweep.
     import os
     cand = tuple(os.environ.get("SB_BENCH_TRAIN_PATHS",
                                 "autodiff").split(","))
-    saved = (rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN)
+    saved = (rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN, rnn._FUSED_SCAN)
     results = {}
     try:
         for tag in cand:
-            rnn.set_custom_vjp(tag != "autodiff")
+            rnn.set_custom_vjp(tag in ("cvjp", "pallas"))
             rnn.set_pallas_train(tag == "pallas")
+            rnn.set_fused_scan(tag == "fused")
             try:
                 results[tag] = time_step()
             except Exception as e:
                 print(f"# train candidate {tag} unavailable: {str(e)[:90]}",
                       flush=True)
     finally:
-        rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN = saved
+        rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN, rnn._FUSED_SCAN = saved
     tag, ms = min(results.items(), key=lambda kv: kv[1])
     print("# train candidates (ms/step): "
           + ", ".join(f"{k}={v:.1f}" for k, v in results.items()), flush=True)

@@ -42,6 +42,15 @@ _CUSTOM_VJP = os.environ.get("SB_LSTM_CUSTOM_VJP", "0") == "1"
 # scans run as single fused kernels with (h, c) resident in VMEM
 # (ops/pallas/lstm_train_kernel.py); weight grads stay as one large matmul.
 _PALLAS_TRAIN = os.environ.get("SB_LSTM_PALLAS_TRAIN", "0") == "1"
+# fused-scan training path: gates are computed INSIDE the scan from x (no
+# [T, rows, 4H] gates_x materialization in forward OR backward), the weight
+# gradients accumulate in the backward scan carry instead of stacking a
+# [T, rows, 4H] dgates_seq for post-scan matmuls, and the BLSTM backward
+# direction runs as lax.scan(reverse=True) instead of two jnp.flip copies.
+# Rationale: the train step is stacking-traffic-bound, not FLOP-bound
+# (xprof 2026-08-17 — copy + dynamic-update-slice stacking + broadcasts
+# ≈ 45% of a 254 ms step); this path cuts the per-LSTM scan HBM I/O ~3x.
+_FUSED_SCAN = os.environ.get("SB_LSTM_FUSED", "0") == "1"
 
 
 def set_custom_vjp(flag: bool):
@@ -55,6 +64,11 @@ def set_pallas_train(flag: bool):
         global _CUSTOM_VJP
         _CUSTOM_VJP = True
     _PALLAS_TRAIN = flag
+
+
+def set_fused_scan(flag: bool):
+    global _FUSED_SCAN
+    _FUSED_SCAN = flag
 
 
 def _cvjp_impl():
@@ -157,6 +171,10 @@ def lstm(params, x, h0=None, c0=None, reverse: bool = False,
         h1, c1 = _cell(h0, c0, gates_x[..., 0, :], params["w_hh"], hidden)
         return (h1.astype(x.dtype)[..., None, :],
                 (h1.astype(state_dtype), c1.astype(state_dtype)))
+
+    if _FUSED_SCAN:
+        y, hT, cT = _run_fused(params, x, h0, c0, reverse)
+        return y, (hT.astype(state_dtype), cT.astype(state_dtype))
 
     if _CUSTOM_VJP and not reverse:
         x_t = jnp.moveaxis(x, -2, 0)     # [T, ..., C] scan-major
@@ -301,6 +319,148 @@ def _lstm_cvjp_bwd(res, cts):
 lstm_cvjp.defvjp(_lstm_cvjp_fwd, _lstm_cvjp_bwd)
 
 
+# ------------------------- fused-scan LSTM core -------------------------
+#
+# One direction over scan-major x [T, R, C]. Numerically the same primal as
+# lstm()/lstm_cvjp (the hoisted x@W_ih+b is re-associated into the step, the
+# gate math is identical), but built to minimize the scan's HBM stacking
+# traffic, which dominates the train step on TPU:
+#   fwd:  reads x (C channels/step, not 4H gates), stacks y [bf16] plus the
+#         residual streams (h_prev [matmul dtype], c_prev [f32]);
+#   bwd:  reads (x, h_prev, c_prev, dy), recomputes the gates per step, and
+#         carries f32 (dW_ih, dW_hh, db) ACCUMULATORS through the scan —
+#         no [T, R, 4H] dgates stacking, the only stacked output is dx.
+# `reverse` also removes the two jnp.flip copies per BLSTM direction.
+
+
+def _fused_gate_fwd(x_t, h, c, w_ih, w_hh, b, hidden, mixed):
+    """One step's gate math. In f32 this is bitwise the _cell math with
+    gates_x = x@W_ih + b hoisted; under mixed precision the x-projection
+    accumulates in f32 WITHOUT an intermediate bf16 rounding (the hoisted
+    path rounds gates_x to bf16 once) — one fewer rounding, so fused-vs-
+    default forwards agree to bf16 ulp, not bitwise."""
+    if mixed:
+        gates = (jnp.matmul(x_t, w_ih, preferred_element_type=jnp.float32)
+                 + b.astype(jnp.float32)
+                 + jnp.matmul(h.astype(w_hh.dtype), w_hh,
+                              preferred_element_type=jnp.float32))
+        if _BF16_GATES:
+            gates = gates.astype(jnp.bfloat16)
+    else:
+        gates = (x_t @ w_ih + b) + h @ w_hh
+    i = jax.nn.sigmoid(gates[..., :hidden])
+    f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+    c_t = (f * c).astype(c.dtype) + i * g
+    h_t = o * jnp.tanh(c_t.astype(gates.dtype))
+    return i, f, g, o, c_t, h_t
+
+
+def _lstm_fused_primal(reverse, w_ih, w_hh, b, x, h0, c0, residuals):
+    hidden = w_hh.shape[0]
+    mixed = w_hh.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16
+
+    def step(carry, x_t):
+        h, c = carry
+        *_, c_t, h_t = _fused_gate_fwd(x_t, h, c, w_ih, w_hh, b, hidden,
+                                       mixed)
+        h_t = h_t.astype(h.dtype)
+        if residuals:
+            # stream out the state ENTERING this step (h in the recurrence-
+            # matmul dtype — exact: a bf16 h round-trips the f32 carry)
+            return (h_t, c_t), (h_t.astype(x.dtype), h.astype(w_hh.dtype), c)
+        return (h_t, c_t), h_t.astype(x.dtype)
+
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), x, reverse=reverse)
+    return (hT, cT), ys
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def lstm_fused(reverse, w_ih, w_hh, b, x, h0, c0):
+    """(ys [T,R,H] in x.dtype, hT, cT) — scan-major x [T, R, C]."""
+    (hT, cT), ys = _lstm_fused_primal(reverse, w_ih, w_hh, b, x, h0, c0,
+                                      residuals=False)
+    return ys, hT, cT
+
+
+def _lstm_fused_fwd(reverse, w_ih, w_hh, b, x, h0, c0):
+    (hT, cT), (ys, h_prev, c_prev) = _lstm_fused_primal(
+        reverse, w_ih, w_hh, b, x, h0, c0, residuals=True)
+    return (ys, hT, cT), (w_ih, w_hh, b, x, h0, c0, h_prev, c_prev)
+
+
+def _lstm_fused_bwd(reverse, res, cts):
+    w_ih, w_hh, b, x, h0, c0, h_prev, c_prev = res
+    dy, dhT, dcT = cts
+    hidden = w_hh.shape[0]
+    mixed = w_hh.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16
+    f32 = jnp.float32
+    gdt = jnp.bfloat16 if (mixed and _BF16_GATES) else x.dtype
+    mdt = w_hh.dtype                       # recurrence-matmul dtype
+    w_hh_t = w_hh.T
+    w_ih_t = w_ih.T
+
+    def step(carry, inp):
+        dh_next, dc_next, dwih, dwhh, db = carry
+        x_t, hp, cp, dy_t = inp
+        i, f, g, o, c_t, _ = _fused_gate_fwd(x_t, hp, cp, w_ih, w_hh, b,
+                                             hidden, mixed)
+        i, f, g, o = (a.astype(f32) for a in (i, f, g, o))
+        # primal evaluated tanh on the gdt-cast cell state — recompute at
+        # the same point so the backward differentiates the actual primal
+        tc = jnp.tanh(c_t.astype(gdt)).astype(f32)
+        dh = dy_t.astype(f32) + dh_next
+        do = dh * tc
+        dc = dc_next + dh * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate([
+            dc * g * i * (1.0 - i),
+            dc * cp.astype(f32) * f * (1.0 - f),
+            dc * i * (1.0 - g * g),
+            do * o * (1.0 - o)], axis=-1)
+        dg_m = dgates.astype(mdt)
+        dh_prev = jnp.matmul(dg_m, w_hh_t, preferred_element_type=f32)
+        dc_prev = dc * f
+        # rank-R weight-grad updates into the f32 carry accumulators
+        dwhh = dwhh + jnp.einsum("rh,rk->hk", hp, dg_m,
+                                 preferred_element_type=f32)
+        dwih = dwih + jnp.einsum("rc,rk->ck", x_t.astype(mdt), dg_m,
+                                 preferred_element_type=f32)
+        db = db + jnp.sum(dgates, axis=0)
+        dx_t = jnp.matmul(dg_m, w_ih_t,
+                          preferred_element_type=f32).astype(x.dtype)
+        return (dh_prev, dc_prev, dwih, dwhh, db), dx_t
+
+    init = (dhT.astype(f32), dcT.astype(f32),
+            jnp.zeros(w_ih.shape, f32), jnp.zeros(w_hh.shape, f32),
+            jnp.zeros(b.shape, f32))
+    (dh0, dc0, dwih, dwhh, db), dx = jax.lax.scan(
+        step, init, (x, h_prev, c_prev, dy), reverse=not reverse)
+    return (dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype),
+            db.astype(b.dtype), dx,
+            dh0.astype(h0.dtype), dc0.astype(c0.dtype))
+
+
+lstm_fused.defvjp(_lstm_fused_fwd, _lstm_fused_bwd)
+
+
+def _run_fused(params, x, h0, c0, reverse):
+    """Apply lstm_fused to trailing-time x [..., T, C], flattening the lead
+    dims to one row axis. Returns (y [..., T, H], hT, cT [..., H])."""
+    t = x.shape[-2]
+    lead = x.shape[:-2]
+    r = math.prod(lead)
+    x_t = jnp.moveaxis(x, -2, 0).reshape(t, r, x.shape[-1])
+    ys, hT, cT = lstm_fused(reverse, params["w_ih"], params["w_hh"],
+                            params["b"], x_t,
+                            h0.reshape(r, -1), c0.reshape(r, -1))
+    y = jnp.moveaxis(ys.reshape((t,) + lead + (-1,)), 0, -2)
+    return y, hT.reshape(lead + (-1,)), cT.reshape(lead + (-1,))
+
+
 def init_blstm_params(key, in_dim: int, hidden: int, dtype=jnp.float32):
     kf, kb = jax.random.split(key)
     return {
@@ -328,6 +488,16 @@ def blstm(params, x, unroll: int | None = None):
     fwd, bwd = params["fwd"], params["bwd"]
     hidden = fwd["w_hh"].shape[0]
     t = x.shape[-2]
+    if _FUSED_SCAN and t > 1:
+        # two fused scans sharing x (the reversed direction is a
+        # scan(reverse=True) — no jnp.flip copies in or out)
+        cdt = (jnp.float32 if (fwd["w_hh"].dtype == jnp.bfloat16
+                               or x.dtype == jnp.bfloat16) else x.dtype)
+        lead = x.shape[:-2]
+        z0 = jnp.zeros(lead + (hidden,), cdt)
+        yf, _, _ = _run_fused(fwd, x, z0, z0, reverse=False)
+        yb, _, _ = _run_fused(bwd, x, z0, z0, reverse=True)
+        return jnp.concatenate([yf, yb], axis=-1)
     if _CUSTOM_VJP:
         x_t = jnp.moveaxis(x, -2, 0)
         if _PALLAS_TRAIN and _BF16_GATES:

@@ -107,6 +107,127 @@ def test_custom_vjp_matches_autodiff_f32(rng):
                                        rtol=2e-5, atol=2e-5)
 
 
+def test_fused_scan_matches_autodiff_f32(rng):
+    """SB_LSTM_FUSED path: in-scan gate computation + carried weight-grad
+    accumulators must reproduce the lax.scan autodiff path — primal AND
+    gradients, for the unidirectional LSTM (with state) and the BLSTM
+    (whose reversed direction runs as scan(reverse=True), no flips)."""
+    import sound_bubble_tpu.ops.rnn as rnn
+
+    p = rnn.init_lstm_params(jax.random.PRNGKey(0), 6, 5)
+    bp = rnn.init_blstm_params(jax.random.PRNGKey(1), 6, 5)
+    x = jnp.asarray(rng.standard_normal((3, 11, 6)).astype(np.float32))
+    h0 = jnp.asarray(rng.standard_normal((3, 5)).astype(np.float32))
+    c0 = jnp.asarray(rng.standard_normal((3, 5)).astype(np.float32))
+
+    def loss_l(params, x, h0, c0):
+        y, (hT, cT) = rnn.lstm(params, x, h0, c0)
+        return jnp.sum(y ** 2) + jnp.sum(hT * cT)
+
+    def loss_b(params, x):
+        return jnp.sum(rnn.blstm(params, x) ** 2)
+
+    try:
+        rnn.set_fused_scan(False)
+        ref_v = loss_l(p, x, h0, c0)
+        ref_l = jax.grad(loss_l, argnums=(0, 1, 2, 3))(p, x, h0, c0)
+        ref_bv = loss_b(bp, x)
+        ref_b = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+        rnn.set_fused_scan(True)
+        got_v = loss_l(p, x, h0, c0)
+        got_l = jax.grad(loss_l, argnums=(0, 1, 2, 3))(p, x, h0, c0)
+        got_bv = loss_b(bp, x)
+        got_b = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+    finally:
+        rnn.set_fused_scan(False)
+
+    assert got_v == pytest.approx(float(ref_v), rel=1e-6)
+    assert got_bv == pytest.approx(float(ref_bv), rel=1e-6)
+    for ref, got in ((ref_l, got_l), (ref_b, got_b)):
+        for rl, gl in zip(jax.tree_util.tree_leaves(ref),
+                          jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_fused_scan_matches_autodiff_mixed(rng):
+    """Mixed precision (bf16 weights, fp32 carry): the fused-scan custom
+    backward must agree with AUTODIFF OF THE SAME FUSED PRIMAL (the fused
+    forward keeps the x-projection in f32 — one fewer bf16 rounding than the
+    hoisted-gates path, so vs the default path we only assert bf16-ulp
+    forward agreement)."""
+    import sound_bubble_tpu.ops.rnn as rnn
+    from sound_bubble_tpu.utils import cast_bf16
+
+    p = cast_bf16(rnn.init_lstm_params(jax.random.PRNGKey(2), 6, 5))
+    x = jnp.asarray(rng.standard_normal((2, 9, 6)).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    x_t = jnp.moveaxis(x, 1, 0)
+    h0 = jnp.zeros((2, 5), jnp.float32)
+
+    def loss_custom(params, x_t):
+        ys, hT, cT = rnn.lstm_fused(False, params["w_ih"], params["w_hh"],
+                                    params["b"], x_t, h0, h0)
+        return jnp.sum(ys.astype(jnp.float32) ** 2) \
+            + jnp.sum(hT * cT).astype(jnp.float32)
+
+    def loss_ad(params, x_t):
+        (hT, cT), ys = rnn._lstm_fused_primal(
+            False, params["w_ih"], params["w_hh"], params["b"], x_t, h0, h0,
+            residuals=False)
+        return jnp.sum(ys.astype(jnp.float32) ** 2) \
+            + jnp.sum(hT * cT).astype(jnp.float32)
+
+    ref_v = float(loss_ad(p, x_t))
+    got_v = float(loss_custom(p, x_t))
+    assert got_v == pytest.approx(ref_v, rel=1e-6)  # identical primal
+    ref = jax.grad(loss_ad, argnums=(0, 1))(p, x_t)
+    got = jax.grad(loss_custom, argnums=(0, 1))(p, x_t)
+    for rl, gl in zip(jax.tree_util.tree_leaves(ref),
+                      jax.tree_util.tree_leaves(got)):
+        rl, gl = np.asarray(rl, np.float32), np.asarray(gl, np.float32)
+        denom = np.abs(rl).max() + 1e-6
+        assert np.abs(gl - rl).max() / denom < 0.03, \
+            (np.abs(gl - rl).max(), denom)
+
+    # fused vs default forward: bf16-ulp agreement (not bitwise — see above)
+    try:
+        rnn.set_fused_scan(False)
+        y_ref, _ = rnn.lstm(p, x)
+        rnn.set_fused_scan(True)
+        y_got, _ = rnn.lstm(p, x)
+    finally:
+        rnn.set_fused_scan(False)
+    y_ref = np.asarray(y_ref, np.float32)
+    y_got = np.asarray(y_got, np.float32)
+    assert np.abs(y_got - y_ref).max() <= 0.02 * (np.abs(y_ref).max() + 1e-6)
+
+
+def test_fused_scan_streaming_equivalence(rng):
+    """Fused path == default path on the forward, incl. carried state and
+    the reverse direction used by blstm."""
+    import sound_bubble_tpu.ops.rnn as rnn
+
+    p = rnn.init_lstm_params(jax.random.PRNGKey(4), 4, 8)
+    x = jnp.asarray(rng.standard_normal((2, 10, 4)).astype(np.float32))
+    ref_y, (ref_h, ref_c) = rnn.lstm(p, x)
+    ref_yr, _ = rnn.lstm(p, x, reverse=True)
+    try:
+        rnn.set_fused_scan(True)
+        got_y, (got_h, got_c) = rnn.lstm(p, x)
+        got_yr, _ = rnn.lstm(p, x, reverse=True)
+    finally:
+        rnn.set_fused_scan(False)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_yr), np.asarray(ref_yr),
+                               atol=1e-6)
+
+
 def test_custom_vjp_matches_autodiff_mixed(rng):
     """Mixed precision (bf16 weights, fp32 carry): the custom backward
     differentiates the same primal as autodiff — grads agree to bf16

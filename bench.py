@@ -156,15 +156,16 @@ def _measure_train(net, cfg, batch=8, seconds=2.5, steps=8):
     # a fresh jit): plain autodiff scan, custom-VJP scan (dW_hh hoisted out
     # of the backward scan), fused Pallas fwd/bwd recurrence kernels, and
     # the fused-scan path (in-scan gates + carried weight-grad accumulators,
-    # no [T,R,4H] stacking). Default is autodiff only: TPU v5e sweeps
-    # (2026-08-17, batch 8 bf16) measured autodiff 254.5-255.7 / cvjp 255.7
-    # / pallas 254.6 / fused 255.9 ms — all four recurrence formulations are
-    # throughput-neutral (the step is NOT recurrence-I/O-bound), and each
-    # extra candidate costs a multi-minute cold compile over the tunnel.
+    # no [T,R,4H] stacking, K=6 frames per while-iteration — see
+    # ops/rnn.py:_FUSED_CHUNK). Default is fused only: TPU v5e sweeps
+    # (2026-08-17, batch 8 bf16) measured autodiff 254.5 / cvjp 255.7 /
+    # pallas 254.6 / fused+chunk6 157.2 ms — the chunked fused scan wins by
+    # 1.6x (the step is while-iteration-count-bound, not FLOP-bound), and
+    # each extra candidate costs a multi-minute cold compile over the tunnel.
     # SB_BENCH_TRAIN_PATHS=autodiff,cvjp,pallas,fused re-enables the sweep.
     import os
     cand = tuple(os.environ.get("SB_BENCH_TRAIN_PATHS",
-                                "autodiff").split(","))
+                                "fused").split(","))
     saved = (rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN, rnn._FUSED_SCAN)
     results = {}
     try:

@@ -47,10 +47,19 @@ _PALLAS_TRAIN = os.environ.get("SB_LSTM_PALLAS_TRAIN", "0") == "1"
 # gradients accumulate in the backward scan carry instead of stacking a
 # [T, rows, 4H] dgates_seq for post-scan matmuls, and the BLSTM backward
 # direction runs as lax.scan(reverse=True) instead of two jnp.flip copies.
-# Rationale: the train step is stacking-traffic-bound, not FLOP-bound
-# (xprof 2026-08-17 — copy + dynamic-update-slice stacking + broadcasts
-# ≈ 45% of a 254 ms step); this path cuts the per-LSTM scan HBM I/O ~3x.
 _FUSED_SCAN = os.environ.get("SB_LSTM_FUSED", "0") == "1"
+# frames per while-iteration in the fused scans. The train step is
+# ITERATION-COUNT-bound, not FLOP- or bandwidth-bound: xprof on the
+# production step (2026-08-17, batch 8 bf16, 54 scans x ~200-313 frames =
+# ~10.9k sequential while-iterations) shows 99.6 ms/step of while-loop
+# self-overhead (~9 us/iteration) plus ~34 ms of per-iteration carry copies
+# and output dynamic-update-slices. Blocking K frames into one iteration
+# (inner trace-time-unrolled loop, outputs written as one [K, ...] slab)
+# divides all three by K while keeping the math identical. TPU v5e sweep
+# (2026-08-17, production step, batch 8 bf16, ms/step): K=1 255.9, K=4 181.0,
+# K=6 157.2, K=8 163.9, K=10 169.2, K=12 202.4, K=16 194.2 — larger K grows
+# the unrolled body (register/VMEM pressure) faster than it saves overhead.
+_FUSED_CHUNK = int(os.environ.get("SB_LSTM_CHUNK", "6"))
 
 
 def set_custom_vjp(flag: bool):
@@ -357,6 +366,52 @@ def _fused_gate_fwd(x_t, h, c, w_ih, w_hh, b, hidden, mixed):
     return i, f, g, o, c_t, h_t
 
 
+def _chunked_scan(step, carry, xs, reverse=False, k=1):
+    """`lax.scan(step, carry, xs, reverse=reverse)` with K frames per
+    while-iteration: the leading axis is blocked to [T//K, K, ...], each
+    iteration runs K trace-time-unrolled steps, and every output stream is
+    written as ONE [K, ...] slab per iteration (one dynamic-update-slice
+    instead of K). The T%K remainder runs as a per-frame scan chained after
+    the blocks (forward) / before them (reverse). Unlike lax.scan's
+    `unroll=K` (which keeps per-frame output writes and carry copies), this
+    divides the while-iteration count — and its ~9 us/iteration overhead —
+    by K."""
+    leaves = jax.tree_util.tree_leaves(xs)
+    t = leaves[0].shape[0]
+    if k <= 1 or t < 2 * k:
+        return jax.lax.scan(step, carry, xs, reverse=reverse)
+    nb, r = divmod(t, k)
+    t0 = nb * k
+    tmap = jax.tree_util.tree_map
+    if reverse:
+        # the tail (first r frames) is processed AFTER the main blocks
+        main_xs = tmap(lambda a: a[r:].reshape((nb, k) + a.shape[1:]), xs)
+        tail_xs = tmap(lambda a: a[:r], xs)
+    else:
+        main_xs = tmap(lambda a: a[:t0].reshape((nb, k) + a.shape[1:]), xs)
+        tail_xs = tmap(lambda a: a[t0:], xs)
+
+    def block_step(c, x_blk):
+        outs = []
+        order = range(k - 1, -1, -1) if reverse else range(k)
+        for i in order:
+            c, o = step(c, tmap(lambda a: a[i], x_blk))
+            outs.append(o)
+        if reverse:
+            outs = outs[::-1]
+        return c, tmap(lambda *ls: jnp.stack(ls), *outs)
+
+    carry, ys_main = jax.lax.scan(block_step, carry, main_xs,
+                                  reverse=reverse)
+    ys_main = tmap(lambda a: a.reshape((t0,) + a.shape[2:]), ys_main)
+    if r == 0:
+        return carry, ys_main
+    carry, ys_tail = jax.lax.scan(step, carry, tail_xs, reverse=reverse)
+    first, second = ((ys_tail, ys_main) if reverse else (ys_main, ys_tail))
+    return carry, tmap(lambda u, v: jnp.concatenate([u, v], axis=0),
+                       first, second)
+
+
 def _lstm_fused_primal(reverse, w_ih, w_hh, b, x, h0, c0, residuals):
     hidden = w_hh.shape[0]
     mixed = w_hh.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16
@@ -372,7 +427,8 @@ def _lstm_fused_primal(reverse, w_ih, w_hh, b, x, h0, c0, residuals):
             return (h_t, c_t), (h_t.astype(x.dtype), h.astype(w_hh.dtype), c)
         return (h_t, c_t), h_t.astype(x.dtype)
 
-    (hT, cT), ys = jax.lax.scan(step, (h0, c0), x, reverse=reverse)
+    (hT, cT), ys = _chunked_scan(step, (h0, c0), x, reverse=reverse,
+                                 k=_FUSED_CHUNK)
     return (hT, cT), ys
 
 
@@ -437,8 +493,9 @@ def _lstm_fused_bwd(reverse, res, cts):
     init = (dhT.astype(f32), dcT.astype(f32),
             jnp.zeros(w_ih.shape, f32), jnp.zeros(w_hh.shape, f32),
             jnp.zeros(b.shape, f32))
-    (dh0, dc0, dwih, dwhh, db), dx = jax.lax.scan(
-        step, init, (x, h_prev, c_prev, dy), reverse=not reverse)
+    (dh0, dc0, dwih, dwhh, db), dx = _chunked_scan(
+        step, init, (x, h_prev, c_prev, dy), reverse=not reverse,
+        k=_FUSED_CHUNK)
     return (dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype),
             db.astype(b.dtype), dx,
             dh0.astype(h0.dtype), dc0.astype(c0.dtype))

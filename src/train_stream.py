@@ -78,6 +78,14 @@ def main(args):
                        "batch": args.batch, "clip_seconds": args.clip_seconds,
                        "snr_range": [args.snr_min, args.snr_max]}, f)
 
+    # training default: fused-chunked LSTM scans (in-scan gates, carried
+    # weight-grad accumulators, 6 frames per while-iteration) — 1.6x the
+    # autodiff step on TPU v5e (157 vs 254 ms, sweep in ops/rnn.py). Exact
+    # same math/grads (tests/test_rnn.py pins both to 1e-5). SB_LSTM_FUSED=0
+    # opts out.
+    import sound_bubble_tpu.ops.rnn as rnn
+    rnn.set_fused_scan(os.environ.get("SB_LSTM_FUSED", "1") == "1")
+
     module = build_module(cfg, run_dir)
     net, loss_fn = module.net, module.loss_fn
     tx = module.optimizer.tx

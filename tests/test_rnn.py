@@ -203,6 +203,49 @@ def test_fused_scan_matches_autodiff_mixed(rng):
     assert np.abs(y_got - y_ref).max() <= 0.02 * (np.abs(y_ref).max() + 1e-6)
 
 
+@pytest.mark.parametrize("chunk,T", [(4, 11), (4, 12), (8, 16), (5, 23)])
+def test_fused_scan_chunked_matches_plain(rng, chunk, T):
+    """The K-frames-per-iteration blocking (incl. the T%K tail chain) is a
+    pure re-stacking: primal and grads must match the per-frame fused scan,
+    in both directions."""
+    import sound_bubble_tpu.ops.rnn as rnn
+
+    p = rnn.init_lstm_params(jax.random.PRNGKey(7), 6, 5)
+    bp = rnn.init_blstm_params(jax.random.PRNGKey(8), 6, 5)
+    x = jnp.asarray(rng.standard_normal((3, T, 6)).astype(np.float32))
+    h0 = jnp.asarray(rng.standard_normal((3, 5)).astype(np.float32))
+    c0 = jnp.asarray(rng.standard_normal((3, 5)).astype(np.float32))
+
+    def loss_l(params, x):
+        y, (hT, cT) = rnn.lstm(params, x, h0, c0)
+        return jnp.sum(y ** 2) + jnp.sum(hT * cT)
+
+    def loss_b(params, x):
+        return jnp.sum(rnn.blstm(params, x) ** 2)
+
+    saved = rnn._FUSED_CHUNK
+    try:
+        rnn.set_fused_scan(True)
+        rnn._FUSED_CHUNK = 1
+        ref_v = loss_l(p, x)
+        ref_l = jax.grad(loss_l, argnums=(0, 1))(p, x)
+        ref_b = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+        rnn._FUSED_CHUNK = chunk
+        got_v = loss_l(p, x)
+        got_l = jax.grad(loss_l, argnums=(0, 1))(p, x)
+        got_b = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+    finally:
+        rnn.set_fused_scan(False)
+        rnn._FUSED_CHUNK = saved
+
+    assert got_v == pytest.approx(float(ref_v), rel=1e-6)
+    for ref, got in ((ref_l, got_l), (ref_b, got_b)):
+        for rl, gl in zip(jax.tree_util.tree_leaves(ref),
+                          jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
+                                       rtol=1e-5, atol=1e-5)
+
+
 def test_fused_scan_streaming_equivalence(rng):
     """Fused path == default path on the forward, incl. carried state and
     the reverse direction used by blstm."""

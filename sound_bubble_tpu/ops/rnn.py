@@ -60,6 +60,12 @@ _FUSED_SCAN = os.environ.get("SB_LSTM_FUSED", "0") == "1"
 # K=6 157.2, K=8 163.9, K=10 169.2, K=12 202.4, K=16 194.2 — larger K grows
 # the unrolled body (register/VMEM pressure) faster than it saves overhead.
 _FUSED_CHUNK = int(os.environ.get("SB_LSTM_CHUNK", "6"))
+# direction-fused BLSTM scans: both directions of a bidirectional layer run
+# in ONE chunked scan (a leading direction axis on weights/activations turns
+# the per-step projections into single batched matmuls), halving the
+# while-iteration count of every intra-frequency BLSTM vs the two-scan
+# fused path. Opt-in until TPU-benched (sweep via tools/train_sweep.py).
+_DIR_FUSE = os.environ.get("SB_BLSTM_DIRFUSE", "0") == "1"
 
 
 def set_custom_vjp(flag: bool):
@@ -78,6 +84,11 @@ def set_pallas_train(flag: bool):
 def set_fused_scan(flag: bool):
     global _FUSED_SCAN
     _FUSED_SCAN = flag
+
+
+def set_dir_fuse(flag: bool):
+    global _DIR_FUSE
+    _DIR_FUSE = flag
 
 
 def _cvjp_impl():
@@ -504,6 +515,101 @@ def _lstm_fused_bwd(reverse, res, cts):
 lstm_fused.defvjp(_lstm_fused_fwd, _lstm_fused_bwd)
 
 
+# ---------------------- direction-fused BLSTM core ----------------------
+#
+# Both directions of a bidirectional layer in ONE chunked scan: the weights
+# carry a leading direction axis ([2, C, 4H] / [2, H, 4H] / [2, 4H]) and the
+# input arrives pre-mirrored (xx[:, 1] is the time-reversed sequence), so
+# each step's projections are single batched matmuls over [2, R, ...] and
+# the layer costs HALF the while-iterations of the two-scan fused path.
+# The mirror flips live OUTSIDE the custom VJP (plain jnp ops XLA autodiffs);
+# inside, both directions scan forward. Gate math identical to lstm_fused
+# (_fused_gate_fwd batches over the direction axis unchanged).
+
+
+def _blstm_dir_primal(w_ih, w_hh, b, xx, residuals):
+    hidden = w_hh.shape[-2]
+    mixed = w_hh.dtype == jnp.bfloat16 or xx.dtype == jnp.bfloat16
+    b2 = b[:, None, :]
+    cdt = jnp.float32 if mixed else xx.dtype
+    z0 = jnp.zeros(xx.shape[1:-1] + (hidden,), cdt)     # [2, R, H]
+
+    def step(carry, x_t):
+        h, c = carry
+        *_, c_t, h_t = _fused_gate_fwd(x_t, h, c, w_ih, w_hh, b2, hidden,
+                                       mixed)
+        h_t = h_t.astype(h.dtype)
+        if residuals:
+            return (h_t, c_t), (h_t.astype(xx.dtype), h.astype(w_hh.dtype), c)
+        return (h_t, c_t), h_t.astype(xx.dtype)
+
+    _, ys = _chunked_scan(step, (z0, z0), xx, k=_FUSED_CHUNK)
+    return ys
+
+
+@jax.custom_vjp
+def blstm_fused_dir(w_ih, w_hh, b, xx):
+    """ys [T, 2, R, H] in xx.dtype — xx [T, 2, R, C] pre-mirrored,
+    weights direction-stacked [2, ...]. Initial state is zeros (BLSTM)."""
+    return _blstm_dir_primal(w_ih, w_hh, b, xx, residuals=False)
+
+
+def _blstm_dir_fwd(w_ih, w_hh, b, xx):
+    ys, h_prev, c_prev = _blstm_dir_primal(w_ih, w_hh, b, xx, residuals=True)
+    return ys, (w_ih, w_hh, b, xx, h_prev, c_prev)
+
+
+def _blstm_dir_bwd(res, dy):
+    w_ih, w_hh, b, xx, h_prev, c_prev = res
+    hidden = w_hh.shape[-2]
+    mixed = w_hh.dtype == jnp.bfloat16 or xx.dtype == jnp.bfloat16
+    f32 = jnp.float32
+    gdt = jnp.bfloat16 if (mixed and _BF16_GATES) else xx.dtype
+    mdt = w_hh.dtype
+    b2 = b[:, None, :]
+    w_hh_t = jnp.swapaxes(w_hh, -1, -2)
+    w_ih_t = jnp.swapaxes(w_ih, -1, -2)
+
+    def step(carry, inp):
+        dh_next, dc_next, dwih, dwhh, db = carry
+        x_t, hp, cp, dy_t = inp
+        i, f, g, o, c_t, _ = _fused_gate_fwd(x_t, hp, cp, w_ih, w_hh, b2,
+                                             hidden, mixed)
+        i, f, g, o = (a.astype(f32) for a in (i, f, g, o))
+        tc = jnp.tanh(c_t.astype(gdt)).astype(f32)
+        dh = dy_t.astype(f32) + dh_next
+        do = dh * tc
+        dc = dc_next + dh * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate([
+            dc * g * i * (1.0 - i),
+            dc * cp.astype(f32) * f * (1.0 - f),
+            dc * i * (1.0 - g * g),
+            do * o * (1.0 - o)], axis=-1)
+        dg_m = dgates.astype(mdt)
+        dh_prev = jnp.matmul(dg_m, w_hh_t, preferred_element_type=f32)
+        dc_prev = dc * f
+        dwhh = dwhh + jnp.einsum("drh,drk->dhk", hp, dg_m,
+                                 preferred_element_type=f32)
+        dwih = dwih + jnp.einsum("drc,drk->dck", x_t.astype(mdt), dg_m,
+                                 preferred_element_type=f32)
+        db = db + jnp.sum(dgates, axis=-2)              # [2, 4H]
+        dx_t = jnp.matmul(dg_m, w_ih_t,
+                          preferred_element_type=f32).astype(xx.dtype)
+        return (dh_prev, dc_prev, dwih, dwhh, db), dx_t
+
+    init = (jnp.zeros(xx.shape[1:-1] + (hidden,), f32),
+            jnp.zeros(xx.shape[1:-1] + (hidden,), f32),
+            jnp.zeros(w_ih.shape, f32), jnp.zeros(w_hh.shape, f32),
+            jnp.zeros(b.shape, f32))
+    (_, _, dwih, dwhh, db), dx = _chunked_scan(
+        step, init, (xx, h_prev, c_prev, dy), reverse=True, k=_FUSED_CHUNK)
+    return (dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype),
+            db.astype(b.dtype), dx)
+
+
+blstm_fused_dir.defvjp(_blstm_dir_fwd, _blstm_dir_bwd)
+
+
 def _run_fused(params, x, h0, c0, reverse):
     """Apply lstm_fused to trailing-time x [..., T, C], flattening the lead
     dims to one row axis. Returns (y [..., T, H], hT, cT [..., H])."""
@@ -546,6 +652,20 @@ def blstm(params, x, unroll: int | None = None):
     hidden = fwd["w_hh"].shape[0]
     t = x.shape[-2]
     if _FUSED_SCAN and t > 1:
+        if _DIR_FUSE:
+            # both directions in ONE chunked scan (half the while-
+            # iterations; batched [2,...] matmuls per step). The mirror
+            # flips are outside the custom VJP — XLA autodiffs them.
+            lead = x.shape[:-2]
+            r = math.prod(lead)
+            x_t = jnp.moveaxis(x, -2, 0).reshape(t, r, x.shape[-1])
+            xx = jnp.stack([x_t, jnp.flip(x_t, 0)], axis=1)   # [T,2,R,C]
+            ys = blstm_fused_dir(
+                jnp.stack([fwd["w_ih"], bwd["w_ih"]]),
+                jnp.stack([fwd["w_hh"], bwd["w_hh"]]),
+                jnp.stack([fwd["b"], bwd["b"]]), xx)          # [T,2,R,H]
+            y = jnp.concatenate([ys[:, 0], jnp.flip(ys[:, 1], 0)], axis=-1)
+            return jnp.moveaxis(y.reshape((t,) + lead + (-1,)), 0, -2)
         # two fused scans sharing x (the reversed direction is a
         # scan(reverse=True) — no jnp.flip copies in or out)
         cdt = (jnp.float32 if (fwd["w_hh"].dtype == jnp.bfloat16

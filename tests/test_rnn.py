@@ -303,3 +303,68 @@ def test_custom_vjp_matches_autodiff_mixed(rng):
         denom = np.abs(rl).max() + 1e-6
         assert np.abs(gl - rl).max() / denom < 0.03, \
             (np.abs(gl - rl).max(), denom)
+
+
+def test_dir_fused_blstm_matches_autodiff_f32(rng):
+    """SB_BLSTM_DIRFUSE: both directions in one chunked scan must reproduce
+    the plain-autodiff BLSTM — primal and gradients — including a T%K tail
+    (T=11, K=6) and a multi-lead-dim input."""
+    import sound_bubble_tpu.ops.rnn as rnn
+
+    bp = rnn.init_blstm_params(jax.random.PRNGKey(3), 6, 5)
+    x = jnp.asarray(rng.standard_normal((2, 3, 11, 6)).astype(np.float32))
+
+    def loss_b(params, x):
+        return jnp.sum(rnn.blstm(params, x) ** 2)
+
+    try:
+        rnn.set_fused_scan(False)
+        ref_v = float(loss_b(bp, x))
+        ref = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+        rnn.set_fused_scan(True)
+        rnn.set_dir_fuse(True)
+        got_v = float(loss_b(bp, x))
+        got = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+    finally:
+        rnn.set_fused_scan(False)
+        rnn.set_dir_fuse(False)
+
+    assert got_v == pytest.approx(ref_v, rel=1e-6)
+    for rl, gl in zip(jax.tree_util.tree_leaves(ref),
+                      jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_dir_fused_blstm_matches_two_scan_fused_mixed(rng):
+    """Mixed precision: the direction-fused scan must agree with the
+    two-scan fused path (identical gate math, so primal matches to fp32
+    round-off; grads compared at 3% of max like the other mixed tests)."""
+    import sound_bubble_tpu.ops.rnn as rnn
+    from sound_bubble_tpu.utils import cast_bf16
+
+    bp = cast_bf16(rnn.init_blstm_params(jax.random.PRNGKey(4), 6, 5))
+    x = jnp.asarray(rng.standard_normal((3, 13, 6)).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+
+    def loss_b(params, x):
+        return jnp.sum(rnn.blstm(params, x).astype(jnp.float32) ** 2)
+
+    try:
+        rnn.set_fused_scan(True)
+        ref_v = float(loss_b(bp, x))
+        ref = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+        rnn.set_dir_fuse(True)
+        got_v = float(loss_b(bp, x))
+        got = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+    finally:
+        rnn.set_fused_scan(False)
+        rnn.set_dir_fuse(False)
+
+    assert got_v == pytest.approx(ref_v, rel=1e-5)
+    for rl, gl in zip(jax.tree_util.tree_leaves(ref),
+                      jax.tree_util.tree_leaves(got)):
+        rl, gl = np.asarray(rl, np.float32), np.asarray(gl, np.float32)
+        denom = np.abs(rl).max() + 1e-6
+        assert np.abs(gl - rl).max() / denom < 0.03, \
+            (np.abs(gl - rl).max(), denom)

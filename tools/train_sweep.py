@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def time_train_step(batch, chunk, seconds=2.5, steps=6):
+def time_train_step(batch, chunk, seconds=2.5, steps=6, dirfuse=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -34,6 +34,7 @@ def time_train_step(batch, chunk, seconds=2.5, steps=6):
     from sound_bubble_tpu.utils import cast_bf16
 
     rnn.set_fused_scan(True)
+    rnn.set_dir_fuse(dirfuse)
     rnn._FUSED_CHUNK = chunk
 
     net = make_net({**PROD_MODEL, "compute_dtype": "bf16"})
@@ -102,6 +103,8 @@ def main():
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--seconds", type=float, default=2.5)
     ap.add_argument("--datagen", action="store_true")
+    ap.add_argument("--dirfuse", default="0,1",
+                    help="comma list of 0/1: sweep SB_BLSTM_DIRFUSE")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -115,12 +118,14 @@ def main():
                               "ms": round(ms, 1)}), flush=True)
             continue
         for k in [int(v) for v in args.chunks.split(",")]:
-            ms = time_train_step(b, k, seconds=args.seconds,
-                                 steps=args.steps)
-            ingest = b * args.seconds / (ms / 1e3)
-            print(json.dumps({"what": "train", "batch": b, "chunk": k,
-                              "ms": round(ms, 1),
-                              "ingest_x_rt": round(ingest, 1)}), flush=True)
+            for df in [v == "1" for v in args.dirfuse.split(",")]:
+                ms = time_train_step(b, k, seconds=args.seconds,
+                                     steps=args.steps, dirfuse=df)
+                ingest = b * args.seconds / (ms / 1e3)
+                print(json.dumps({"what": "train", "batch": b, "chunk": k,
+                                  "dirfuse": df, "ms": round(ms, 1),
+                                  "ingest_x_rt": round(ingest, 1)}),
+                      flush=True)
 
 
 if __name__ == "__main__":

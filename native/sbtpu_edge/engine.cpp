@@ -194,17 +194,8 @@ inline void gemv_q(const uint8_t* __restrict xq, const Tensor& w,
   }
   const int groups = (m + 3) / 4;
   const int8_t* __restrict wp0 = w.qpack.data();
-  for (int j0 = 0; j0 < n; j0 += 16) {
-    __m512i acc = _mm512_setzero_si512();
-    const int8_t* __restrict wp = wp0 + j0 * 4;
-    for (int g = 0; g < groups; ++g) {
-      int xw;
-      std::memcpy(&xw, xq + 4 * g, 4);
-      const __m512i xv = _mm512_set1_epi32(xw);
-      const __m512i wv = _mm512_loadu_si512(
-          reinterpret_cast<const void*>(wp + static_cast<size_t>(g) * n * 4));
-      acc = _mm512_dpbusd_epi32(acc, xv, wv);
-    }
+  // epilogue shared by the 4-tile and 1-tile paths
+  auto finish = [&](__m512i acc, int j0) {
     // remove the u8 zero-point: acc -= 128 * colsum
     const __m512i cs = _mm512_loadu_si512(
         reinterpret_cast<const void*>(w.colsum.data() + j0));
@@ -215,6 +206,49 @@ inline void gemv_q(const uint8_t* __restrict xq, const Tensor& w,
                              : _mm512_setzero_ps();
     _mm512_storeu_ps(y + j0, _mm512_fmadd_ps(_mm512_cvtepi32_ps(acc), sc,
                                              base));
+  };
+  // 4 column tiles (64 outputs) per pass: vpdpbusd has ~5-cycle latency, so
+  // a single accumulator's g-chain runs latency-bound; 4 independent
+  // accumulators sharing each broadcast activation word keep the VNNI port
+  // fed, and the 4 tile rows are one contiguous 256-byte weight stream.
+  int j0 = 0;
+  for (; j0 + 64 <= n; j0 += 64) {
+    __m512i a0 = _mm512_setzero_si512(), a1 = _mm512_setzero_si512();
+    __m512i a2 = _mm512_setzero_si512(), a3 = _mm512_setzero_si512();
+    const int8_t* __restrict wp = wp0 + j0 * 4;
+    for (int g = 0; g < groups; ++g) {
+      int xw;
+      std::memcpy(&xw, xq + 4 * g, 4);
+      const __m512i xv = _mm512_set1_epi32(xw);
+      const int8_t* __restrict wg = wp + static_cast<size_t>(g) * n * 4;
+      a0 = _mm512_dpbusd_epi32(
+          a0, xv, _mm512_loadu_si512(reinterpret_cast<const void*>(wg)));
+      a1 = _mm512_dpbusd_epi32(
+          a1, xv, _mm512_loadu_si512(reinterpret_cast<const void*>(wg + 64)));
+      a2 = _mm512_dpbusd_epi32(
+          a2, xv,
+          _mm512_loadu_si512(reinterpret_cast<const void*>(wg + 128)));
+      a3 = _mm512_dpbusd_epi32(
+          a3, xv,
+          _mm512_loadu_si512(reinterpret_cast<const void*>(wg + 192)));
+    }
+    finish(a0, j0);
+    finish(a1, j0 + 16);
+    finish(a2, j0 + 32);
+    finish(a3, j0 + 48);
+  }
+  for (; j0 < n; j0 += 16) {
+    __m512i acc = _mm512_setzero_si512();
+    const int8_t* __restrict wp = wp0 + j0 * 4;
+    for (int g = 0; g < groups; ++g) {
+      int xw;
+      std::memcpy(&xw, xq + 4 * g, 4);
+      const __m512i xv = _mm512_set1_epi32(xw);
+      const __m512i wv = _mm512_loadu_si512(
+          reinterpret_cast<const void*>(wp + static_cast<size_t>(g) * n * 4));
+      acc = _mm512_dpbusd_epi32(acc, xv, wv);
+    }
+    finish(acc, j0);
   }
 }
 #endif  // SBTPU_INT8

@@ -207,35 +207,46 @@ inline void gemv_q(const uint8_t* __restrict xq, const Tensor& w,
     _mm512_storeu_ps(y + j0, _mm512_fmadd_ps(_mm512_cvtepi32_ps(acc), sc,
                                              base));
   };
-  // 4 column tiles (64 outputs) per pass: vpdpbusd has ~5-cycle latency, so
-  // a single accumulator's g-chain runs latency-bound; 4 independent
-  // accumulators sharing each broadcast activation word keep the VNNI port
-  // fed, and the 4 tile rows are one contiguous 256-byte weight stream.
+  // Multi-tile passes: vpdpbusd has ~5-cycle latency, so a single
+  // accumulator's g-chain runs latency-bound (~m/4 x 5 cycles); K
+  // independent column-tile accumulators sharing each broadcast activation
+  // word keep the VNNI port fed, and the K tile rows are one contiguous
+  // 64K-byte weight stream. 8 tiles (128 outputs) makes the H=64 gate
+  // GEMV (16-deep chain) throughput-bound; a 4-tile pass mops up.
   int j0 = 0;
-  for (; j0 + 64 <= n; j0 += 64) {
-    __m512i a0 = _mm512_setzero_si512(), a1 = _mm512_setzero_si512();
-    __m512i a2 = _mm512_setzero_si512(), a3 = _mm512_setzero_si512();
+  for (; j0 + 128 <= n; j0 += 128) {
+    __m512i a[8];
+    for (auto& v : a) v = _mm512_setzero_si512();
     const int8_t* __restrict wp = wp0 + j0 * 4;
     for (int g = 0; g < groups; ++g) {
       int xw;
       std::memcpy(&xw, xq + 4 * g, 4);
       const __m512i xv = _mm512_set1_epi32(xw);
       const int8_t* __restrict wg = wp + static_cast<size_t>(g) * n * 4;
-      a0 = _mm512_dpbusd_epi32(
-          a0, xv, _mm512_loadu_si512(reinterpret_cast<const void*>(wg)));
-      a1 = _mm512_dpbusd_epi32(
-          a1, xv, _mm512_loadu_si512(reinterpret_cast<const void*>(wg + 64)));
-      a2 = _mm512_dpbusd_epi32(
-          a2, xv,
-          _mm512_loadu_si512(reinterpret_cast<const void*>(wg + 128)));
-      a3 = _mm512_dpbusd_epi32(
-          a3, xv,
-          _mm512_loadu_si512(reinterpret_cast<const void*>(wg + 192)));
+      for (int k = 0; k < 8; ++k)
+        a[k] = _mm512_dpbusd_epi32(
+            a[k], xv,
+            _mm512_loadu_si512(
+                reinterpret_cast<const void*>(wg + 64 * k)));
     }
-    finish(a0, j0);
-    finish(a1, j0 + 16);
-    finish(a2, j0 + 32);
-    finish(a3, j0 + 48);
+    for (int k = 0; k < 8; ++k) finish(a[k], j0 + 16 * k);
+  }
+  for (; j0 + 64 <= n; j0 += 64) {
+    __m512i a[4];
+    for (auto& v : a) v = _mm512_setzero_si512();
+    const int8_t* __restrict wp = wp0 + j0 * 4;
+    for (int g = 0; g < groups; ++g) {
+      int xw;
+      std::memcpy(&xw, xq + 4 * g, 4);
+      const __m512i xv = _mm512_set1_epi32(xw);
+      const int8_t* __restrict wg = wp + static_cast<size_t>(g) * n * 4;
+      for (int k = 0; k < 4; ++k)
+        a[k] = _mm512_dpbusd_epi32(
+            a[k], xv,
+            _mm512_loadu_si512(
+                reinterpret_cast<const void*>(wg + 64 * k)));
+    }
+    for (int k = 0; k < 4; ++k) finish(a[k], j0 + 16 * k);
   }
   for (; j0 < n; j0 += 16) {
     __m512i acc = _mm512_setzero_si512();

@@ -60,6 +60,10 @@ _FUSED_SCAN = os.environ.get("SB_LSTM_FUSED", "0") == "1"
 # K=6 157.2, K=8 163.9, K=10 169.2, K=12 202.4, K=16 194.2 — larger K grows
 # the unrolled body (register/VMEM pressure) faster than it saves overhead.
 _FUSED_CHUNK = int(os.environ.get("SB_LSTM_CHUNK", "6"))
+# backward-scan chunk; the bwd body is ~3x the fwd body (gate recompute +
+# 3 matmuls + 2 weight-grad einsums), so its unroll/VMEM-pressure optimum
+# can sit below the forward's. Defaults to the forward chunk.
+_FUSED_CHUNK_BWD = int(os.environ.get("SB_LSTM_CHUNK_BWD", "0")) or None
 # direction-fused BLSTM scans: both directions of a bidirectional layer run
 # in ONE chunked scan (a leading direction axis on weights/activations turns
 # the per-step projections into single batched matmuls), halving the
@@ -506,7 +510,7 @@ def _lstm_fused_bwd(reverse, res, cts):
             jnp.zeros(b.shape, f32))
     (dh0, dc0, dwih, dwhh, db), dx = _chunked_scan(
         step, init, (x, h_prev, c_prev, dy), reverse=not reverse,
-        k=_FUSED_CHUNK)
+        k=_FUSED_CHUNK_BWD or _FUSED_CHUNK)
     return (dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype),
             db.astype(b.dtype), dx,
             dh0.astype(h0.dtype), dc0.astype(c0.dtype))
@@ -602,7 +606,8 @@ def _blstm_dir_bwd(res, dy):
             jnp.zeros(w_ih.shape, f32), jnp.zeros(w_hh.shape, f32),
             jnp.zeros(b.shape, f32))
     (_, _, dwih, dwhh, db), dx = _chunked_scan(
-        step, init, (xx, h_prev, c_prev, dy), reverse=True, k=_FUSED_CHUNK)
+        step, init, (xx, h_prev, c_prev, dy), reverse=True,
+        k=_FUSED_CHUNK_BWD or _FUSED_CHUNK)
     return (dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype),
             db.astype(b.dtype), dx)
 

@@ -246,6 +246,45 @@ def test_fused_scan_chunked_matches_plain(rng, chunk, T):
                                        rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("chunk_bwd,T", [(3, 13), (8, 16)])
+def test_fused_scan_separate_bwd_chunk(rng, chunk_bwd, T):
+    """SB_LSTM_CHUNK_BWD re-blocks only the backward scans; grads must be
+    identical to the symmetric-chunk path (pure re-stacking)."""
+    import sound_bubble_tpu.ops.rnn as rnn
+
+    p = rnn.init_lstm_params(jax.random.PRNGKey(7), 6, 5)
+    bp = rnn.init_blstm_params(jax.random.PRNGKey(8), 6, 5)
+    x = jnp.asarray(rng.standard_normal((3, T, 6)).astype(np.float32))
+
+    def loss_l(params, x):
+        y, _ = rnn.lstm(params, x)
+        return jnp.sum(y ** 2)
+
+    def loss_b(params, x):
+        return jnp.sum(rnn.blstm(params, x) ** 2)
+
+    saved = (rnn._FUSED_CHUNK, rnn._FUSED_CHUNK_BWD, rnn._DIR_FUSE)
+    try:
+        rnn.set_fused_scan(True)
+        rnn.set_dir_fuse(True)
+        rnn._FUSED_CHUNK, rnn._FUSED_CHUNK_BWD = 6, None
+        ref_l = jax.grad(loss_l, argnums=(0, 1))(p, x)
+        ref_b = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+        rnn._FUSED_CHUNK_BWD = chunk_bwd
+        got_l = jax.grad(loss_l, argnums=(0, 1))(p, x)
+        got_b = jax.grad(loss_b, argnums=(0, 1))(bp, x)
+    finally:
+        rnn.set_fused_scan(False)
+        rnn._FUSED_CHUNK, rnn._FUSED_CHUNK_BWD, _df = saved
+        rnn.set_dir_fuse(_df)
+
+    for ref, got in ((ref_l, got_l), (ref_b, got_b)):
+        for rl, gl in zip(jax.tree_util.tree_leaves(ref),
+                          jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
+                                       rtol=1e-5, atol=1e-5)
+
+
 def test_fused_scan_streaming_equivalence(rng):
     """Fused path == default path on the forward, incl. carried state and
     the reverse direction used by blstm."""

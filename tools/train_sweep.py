@@ -22,7 +22,8 @@ import time
 import numpy as np
 
 
-def time_train_step(batch, chunk, seconds=2.5, steps=6, dirfuse=False):
+def time_train_step(batch, chunk, seconds=2.5, steps=6, dirfuse=False,
+                    chunk_bwd=0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -36,6 +37,7 @@ def time_train_step(batch, chunk, seconds=2.5, steps=6, dirfuse=False):
     rnn.set_fused_scan(True)
     rnn.set_dir_fuse(dirfuse)
     rnn._FUSED_CHUNK = chunk
+    rnn._FUSED_CHUNK_BWD = chunk_bwd or None
 
     net = make_net({**PROD_MODEL, "compute_dtype": "bf16"})
     n = int(seconds * 24000)
@@ -105,6 +107,8 @@ def main():
     ap.add_argument("--datagen", action="store_true")
     ap.add_argument("--dirfuse", default="0,1",
                     help="comma list of 0/1: sweep SB_BLSTM_DIRFUSE")
+    ap.add_argument("--chunks_bwd", default="0",
+                    help="comma list; 0 = same as forward chunk")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -118,12 +122,15 @@ def main():
                               "ms": round(ms, 1)}), flush=True)
             continue
         for k in [int(v) for v in args.chunks.split(",")]:
+          for kb in [int(v) for v in args.chunks_bwd.split(",")]:
             for df in [v == "1" for v in args.dirfuse.split(",")]:
                 ms = time_train_step(b, k, seconds=args.seconds,
-                                     steps=args.steps, dirfuse=df)
+                                     steps=args.steps, dirfuse=df,
+                                     chunk_bwd=kb)
                 ingest = b * args.seconds / (ms / 1e3)
                 print(json.dumps({"what": "train", "batch": b, "chunk": k,
-                                  "dirfuse": df, "ms": round(ms, 1),
+                                  "chunk_bwd": kb or k, "dirfuse": df,
+                                  "ms": round(ms, 1),
                                   "ingest_x_rt": round(ingest, 1)}),
                       flush=True)
 

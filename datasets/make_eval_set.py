@@ -27,6 +27,10 @@ def main():
     p.add_argument("--snr_max", type=float, default=5.0)
     p.add_argument("--max_order_min", type=int, default=10)
     p.add_argument("--max_order_max", type=int, default=40)
+    p.add_argument("--bg_noise", type=float, default=0.0,
+                   help="probability a sample carries far-field background "
+                        "noise (colored noise through the huge second room "
+                        "— reference n_BG in {0,1} semantics)")
     p.add_argument("--voice", default="formant",
                    choices=("formant", "harmonic"),
                    help="source model (formant = datagen.voice, round 3; "
@@ -58,11 +62,26 @@ def main():
             np.random.seed(int(rng.integers(0, 2 ** 31 - 1)))
             clips = [(speechlike(rng, n_samp, args.sr), f"synth{j}")
                      for j in range(n_in + 2)]
+            noise_data = None
+            # (guarded so --bg_noise 0 leaves the rng stream — and thus
+            # previously generated eval sets — bit-identical)
+            if args.bg_noise > 0 and rng.random() < args.bg_noise:
+                # colored-noise ambience (same recipe as the on-device
+                # campaign's BG slot: beta~U(0,2) + slow AM)
+                from sound_bubble_tpu.ops.noise import powerlaw_psd_gaussian
+                beta = rng.uniform(0.0, 2.0)
+                noise_data = powerlaw_psd_gaussian(beta, n_samp, rng=rng)
+                t = np.arange(n_samp) / args.sr
+                depth = rng.uniform(0.0, 0.5)
+                fm, ph = rng.uniform(0.1, 1.0), rng.uniform(0, 2 * np.pi)
+                noise_data = noise_data * (
+                    1.0 - depth * (0.5 + 0.5 * np.sin(2 * np.pi * fm * t
+                                                      + ph)))
             out_dir = os.path.join(args.out, name, "test", f"{i:05d}")
             if os.path.exists(os.path.join(out_dir, "metadata.json")):
                 continue
             generate_sample(
-                clips, None, n_in, output_dir=out_dir, sr=args.sr,
+                clips, noise_data, n_in, output_dir=out_dir, sr=args.sr,
                 duration=args.duration, n_out_range=(1, 2),
                 dis_threshold=radius,
                 snr_range=(args.snr_min, args.snr_max),

@@ -41,14 +41,28 @@ from sound_bubble_tpu.ops.fft_conv import fft_conv
 S_MAX = 4          # source slots per scenario (<=2 in-bubble + <=2 outside)
 RADII = (1.0, 1.5, 2.0)
 DIS_EMBEDS = {1.0: (0.0, 0.0, 1.0), 1.5: (0.0, 1.0, 0.0), 2.0: (1.0, 0.0, 0.0)}
+# background-noise slot (reference `generate_adaptive_dataset.py` renders
+# n_BG in {0,1} WHAM! clips far-field in a HUGE second room, order 15,
+# trimming the first 2000 samples of propagation — generate.py:224-240 is
+# this repo's host mirror). 6 of the reference's 9 shipped goldens carry
+# n_BG=1, so training without a noise term is a distribution gap.
+BG_ORDER = 15      # reference room2 max_order
+BG_TRIM = 2000     # samples dropped from the BG premix (reference `[2000:]`)
 
 
 # ------------------------------------------------------------- host side ----
 
 def sample_scenario(rng: np.random.Generator, radius: float, n_in: int,
-                    max_order: int, n_img_max: int):
+                    max_order: int, n_img_max: int, bg_noise: bool = False):
     """One scenario's geometry (reference `generate_sample`
-    distributions): returns dict of fixed-shape numpy arrays."""
+    distributions): returns dict of fixed-shape numpy arrays.
+
+    bg_noise adds one LAST slot: a far-field background-noise source in a
+    huge second room (reference `generate_data_scenario` room2 semantics —
+    dims U(30,40) x U(50,60) x U(10,20), same absorption, order 15, source
+    ~20-60 m out, first 2000 samples of propagation trimmed). The slot's
+    signal (colored noise) and its on/off gate are drawn at batch time in
+    `make_batch`."""
     np.random.seed(int(rng.integers(0, 2 ** 31 - 1)))  # generate.py uses np.random
     right = np.random.uniform(5, 8)
     top = np.random.uniform(4, 8)
@@ -64,9 +78,10 @@ def sample_scenario(rng: np.random.Generator, radius: float, n_in: int,
         for p in positions])
     absorption = np.random.uniform(0.1, 0.9)
 
-    images = np.zeros((S_MAX, n_img_max, 3), np.float32)
-    n_refl = np.zeros((S_MAX, n_img_max), np.float32)
-    img_mask = np.zeros((S_MAX, n_img_max), np.float32)
+    S = S_MAX + 1 if bg_noise else S_MAX
+    images = np.zeros((S, n_img_max, 3), np.float32)
+    n_refl = np.zeros((S, n_img_max), np.float32)
+    img_mask = np.zeros((S, n_img_max), np.float32)
     for s, pos in enumerate(positions):
         im, nr = shoebox_images([right, top, ceiling], pos, max_order)
         k = min(len(im), n_img_max)
@@ -74,15 +89,32 @@ def sample_scenario(rng: np.random.Generator, radius: float, n_in: int,
         n_refl[s, :k] = nr[:k]
         img_mask[s, :k] = 1.0
 
-    active = np.zeros(S_MAX, np.float32)
-    near = np.zeros(S_MAX, np.float32)
+    active = np.zeros(S, np.float32)
+    near = np.zeros(S, np.float32)
+    noise_mask = np.zeros(S, np.float32)
+    delay_trim = np.zeros(S, np.float32)
     active[:n_in + n_out] = 1.0
     near[:n_in] = 1.0
+    if bg_noise:
+        dims2 = [np.random.uniform(30, 40), np.random.uniform(50, 60),
+                 np.random.uniform(10, 20)]
+        bg = [np.random.uniform(15, dims2[0] - 2),
+              np.random.uniform(20, dims2[1] - 2),
+              np.random.uniform(3, dims2[2] - 2)]
+        im, nr = shoebox_images(dims2, bg, BG_ORDER)
+        k = min(len(im), n_img_max)
+        images[S_MAX, :k] = im[:k]
+        n_refl[S_MAX, :k] = nr[:k]
+        img_mask[S_MAX, :k] = 1.0
+        active[S_MAX] = 1.0          # gated per batch in make_batch
+        noise_mask[S_MAX] = 1.0
+        delay_trim[S_MAX] = BG_TRIM
     return dict(
         images=images, n_refl=n_refl, img_mask=img_mask,
         mics=mics.astype(np.float32),
         rho=np.float32(np.sqrt(1.0 - absorption)),
-        active=active, near_mask=near,
+        active=active, near_mask=near, noise_mask=noise_mask,
+        delay_trim=delay_trim,
         dis_embed=np.asarray(DIS_EMBEDS[radius], np.float32),
         radius=np.float32(radius),
     )
@@ -111,7 +143,7 @@ def _sinc_window_response(rir_len: int, oversample: int = 16) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("fs", "rir_len", "chunk"))
 def rirs_on_device(images, n_refl, img_mask, mics, rho, *,
                    fs: int, rir_len: int, chunk: int = 2048,
-                   c: float = 343.0):
+                   c: float = 343.0, delay_trim=None):
     """Image-source RIRs in the frequency domain, chunked over images.
 
     images [S, N, 3], n_refl/img_mask [S, N], mics [M, 3], rho scalar ->
@@ -136,6 +168,9 @@ def rirs_on_device(images, n_refl, img_mask, mics, rho, *,
         d = jnp.maximum(d, 1e-3)                      # [S, M, chunk]
         tau = d / c
         amp = (rho ** nr)[:, None] / (4 * jnp.pi * d) * mk[:, None]
+        if delay_trim is not None:
+            tau = tau - jnp.asarray(delay_trim)[:, None, None] / fs
+            amp = jnp.where(tau >= 0, amp, 0.0)
         amp = jnp.where(tau * fs < rir_len - FDL, amp, 0.0)
         phase = tau[..., None] * freqs                # [S, M, chunk, F]
         re = jnp.sum(amp[..., None] * jnp.cos(phase), axis=2)
@@ -151,7 +186,7 @@ def rirs_on_device(images, n_refl, img_mask, mics, rho, *,
 
 def rirs_host_fast(images, n_refl, img_mask, mics, rho, *, fs: int,
                    rir_len: int, oversample: int = 8,
-                   c: float = 343.0) -> np.ndarray:
+                   c: float = 343.0, delay_trim=None) -> np.ndarray:
     """Fast host ISM synthesis: each image is one impulse scattered onto an
     `oversample`x grid (np.bincount — C-speed), then one rfft band-select
     brings it to the target rate with the same windowed-sinc prototype
@@ -175,6 +210,11 @@ def rirs_host_fast(images, n_refl, img_mask, mics, rho, *, fs: int,
         amp = (float(rho) ** np.asarray(n_refl[s])[None]) / (4 * np.pi * d)
         amp = amp * np.asarray(img_mask[s])[None]
         delay = d / c * fs
+        if delay_trim is not None:
+            # per-slot propagation trim (BG-noise slot: the reference drops
+            # the first BG_TRIM samples of the room2 premix)
+            delay = delay - float(delay_trim[s])
+            amp = np.where(delay >= 0, amp, 0.0)
         amp = np.where(delay < rir_len - FDL, amp, 0.0)
         d8 = delay * oversample
         di = np.floor(d8).astype(np.int64)
@@ -194,34 +234,41 @@ def rirs_host_fast(images, n_refl, img_mask, mics, rho, *, fs: int,
 def build_pool(n_scenarios: int, *, seed: int = 0, sr: int = 24000,
                rir_len: int = 12000, order_range=(10, 32),
                radii=RADII, method: str = "host", dtype=jnp.float32,
-               to_device: bool = True, verbose: bool = True):
+               to_device: bool = True, verbose: bool = True,
+               bg_noise: bool = False):
     """Build the campaign pool: host geometry, RIRs via `method`
     ('host' = rirs_host_fast bincount+FFT, 'device' = rirs_on_device).
 
     Returns a dict of DEVICE arrays:
-    rirs [P, S_MAX, 6, rir_len], active/near_mask [P, S_MAX],
-    dis_embed [P, 3] (+ host list `radius` [P])."""
+    rirs [P, S, 6, rir_len], active/near_mask [P, S], dis_embed [P, 3]
+    (+ host list `radius` [P]); S = S_MAX, or S_MAX+1 with `bg_noise`
+    (last slot = far-field background-noise RIR + `noise_mask` [P, S])."""
     rng = np.random.default_rng(seed)
     n_img_max = len(shoebox_images([6, 6, 3], [3, 3, 1.5],
-                                   order_range[1])[0])
-    rirs, active, near, dis, radius = [], [], [], [], []
+                                   max(order_range[1], BG_ORDER))[0])
+    rirs, active, near, dis, radius, noise = [], [], [], [], [], []
     for i in range(n_scenarios):
         r = radii[i % len(radii)]
         n_in = int(rng.integers(0, 3))
         order = int(rng.integers(order_range[0], order_range[1] + 1))
-        sc = sample_scenario(rng, r, n_in, order, n_img_max)
+        sc = sample_scenario(rng, r, n_in, order, n_img_max,
+                             bg_noise=bg_noise)
         if method == "host":
             out = rirs_host_fast(
                 sc["images"], sc["n_refl"], sc["img_mask"], sc["mics"],
-                sc["rho"], fs=sr, rir_len=rir_len)
+                sc["rho"], fs=sr, rir_len=rir_len,
+                delay_trim=sc["delay_trim"] if bg_noise else None)
         else:
             out = rirs_on_device(
                 jnp.asarray(sc["images"]), jnp.asarray(sc["n_refl"]),
                 jnp.asarray(sc["img_mask"]), jnp.asarray(sc["mics"]),
-                jnp.asarray(sc["rho"]), fs=sr, rir_len=rir_len)
+                jnp.asarray(sc["rho"]), fs=sr, rir_len=rir_len,
+                delay_trim=(jnp.asarray(sc["delay_trim"]) if bg_noise
+                            else None))
         rirs.append(np.asarray(out))
         active.append(sc["active"])
         near.append(sc["near_mask"])
+        noise.append(sc["noise_mask"])
         dis.append(sc["dis_embed"])
         radius.append(float(sc["radius"]))
         if verbose and (i + 1) % 100 == 0:
@@ -239,6 +286,8 @@ def build_pool(n_scenarios: int, *, seed: int = 0, sr: int = 24000,
         "near_mask": np.stack(near),
         "dis_embed": np.stack(dis),
     }
+    if bg_noise:
+        pool["noise_mask"] = np.stack(noise)
     if to_device:
         pool = {k: jnp.asarray(v) for k, v in pool.items()}
     return pool, np.asarray(radius)
@@ -280,23 +329,40 @@ def speechlike_voices(key, batch_shape, n: int, sr: int) -> jnp.ndarray:
 # ------------------------------------------------------- batch assembly ----
 
 def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
-               snr_range=(-10.0, 5.0), voice: str = "formant"):
+               snr_range=(-10.0, 5.0), voice: str = "formant",
+               bg_noise_p: float = 0.0):
     """One training batch from the pool, fully on device.
 
     idx: [B] int32 scenario indices. Returns (inputs, targets) with
     inputs {mixture [B,6,T], dis_embed [B,3]}, targets {target [B,1,T]}.
     voice: "formant" (Klatt-style glottal-pulse + formant sources,
     datagen.voice) or "harmonic" (the round-2 5-harmonic quasi-speech).
+    bg_noise_p: probability a sample carries far-field background noise in
+    the pool's noise slot (requires a `bg_noise=True` pool; the reference
+    draws n_BG in {0,1} — `generate_adaptive_dataset.py`, and 6/9 shipped
+    goldens have n_BG=1). The noise is amplitude-modulated colored noise
+    (beta~U(0,2)) through the huge-room RIR, peak-scaled U(0.05,0.4) like
+    the reference's BG (generate.py:233-235) instead of the speakers'
+    U(0.5,0.9); it joins the `far` sum, so the exact-SNR solve counts it
+    exactly as the reference's `rescale_mixture_to_target_snr` does.
     """
+    bg = bg_noise_p > 0.0 and "noise_mask" in pool
     kv, kp, ks = jax.random.split(key, 3)
     rirs = pool["rirs"][idx].astype(jnp.float32)   # [B, S, M, L]
     active = pool["active"][idx]           # [B, S]
     near_mask = pool["near_mask"][idx]
     b, s = active.shape
+    if not bg and "noise_mask" in pool:
+        # bg pool driven with bg_noise_p=0: silence the noise slot instead
+        # of letting it render as a fifth far SPEAKER through the room2 RIR
+        active = active * (1.0 - pool["noise_mask"][idx])
+    if bg:
+        kv, kb, kg = jax.random.split(kv, 3)
 
+    s_v = s - 1 if bg else s               # speech slots
     if voice == "formant":
         from sound_bubble_tpu.datagen.voice import formant_voices
-        voices = formant_voices(kv, (b, s), n_samples, sr)
+        voices = formant_voices(kv, (b, s_v), n_samples, sr)
     elif voice == "mix":
         # broadened source statistics: 75% Klatt-style formant voices,
         # 25% harmonic quasi-speech, drawn per source — widens the timbre
@@ -304,16 +370,40 @@ def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
         # SPATIAL cues rather than the formant synthesizer's signature
         from sound_bubble_tpu.datagen.voice import formant_voices
         kv1, kv2, kc = jax.random.split(kv, 3)
-        pick = jax.random.bernoulli(kc, 0.75, (b, s))
+        pick = jax.random.bernoulli(kc, 0.75, (b, s_v))
         voices = jnp.where(pick[:, :, None],
-                           formant_voices(kv1, (b, s), n_samples, sr),
-                           speechlike_voices(kv2, (b, s), n_samples, sr))
+                           formant_voices(kv1, (b, s_v), n_samples, sr),
+                           speechlike_voices(kv2, (b, s_v), n_samples, sr))
     else:
-        voices = speechlike_voices(kv, (b, s), n_samples, sr)
+        voices = speechlike_voices(kv, (b, s_v), n_samples, sr)
+    if bg:
+        # colored noise (beta~U(0,2): white..brown, the reference's WHAM!
+        # ambience proxy in-image) with a slow random AM envelope
+        from sound_bubble_tpu.ops.noise import colored_noise_traced
+        kb1, kb2, kb3, kb4 = jax.random.split(kb, 4)
+        beta = jax.random.uniform(kb1, (b,), minval=0.0, maxval=2.0)
+        noise = colored_noise_traced(kb2, beta, n_samples)       # [B, T]
+        t = jnp.arange(n_samples, dtype=jnp.float32) / sr
+        depth = jax.random.uniform(kb3, (b, 1), maxval=0.5)
+        fm = jax.random.uniform(kb4, (b, 2), minval=0.1, maxval=1.0)
+        env = 1.0 - depth * (0.5 + 0.5 * jnp.sin(
+            2 * jnp.pi * fm[:, :1] * t[None] + 2 * jnp.pi * fm[:, 1:]))
+        voices = jnp.concatenate([voices, (noise * env)[:, None]], axis=1)
+        # n_BG ~ Bernoulli(p): gate the noise slot per sample
+        gate = jax.random.bernoulli(kg, bg_noise_p, (b, 1)).astype(
+            active.dtype)
+        active = jnp.concatenate([active[:, :-1], active[:, -1:] * gate], 1)
     premix = fft_conv(voices[:, :, None, :], rirs,
                       mode="full")[..., :n_samples]   # [B, S, M, T]
-    # per-source peak scaling U(0.5,0.9) (reference `:476-487`)
-    scale = jax.random.uniform(kp, (b, s, 1, 1), minval=0.5, maxval=0.9)
+    # per-source peak scaling U(0.5,0.9) (reference `:476-487`); the BG
+    # slot scales U(0.05,0.4) (reference room2 premix scaling, :233-235)
+    u = jax.random.uniform(kp, (b, s, 1, 1))
+    if bg:
+        lo = jnp.asarray([0.5] * s_v + [0.05]).reshape(1, s, 1, 1)
+        hi = jnp.asarray([0.9] * s_v + [0.4]).reshape(1, s, 1, 1)
+    else:
+        lo, hi = 0.5, 0.9
+    scale = lo + u * (hi - lo)
     peak = jnp.max(jnp.abs(premix), axis=(-2, -1), keepdims=True)
     premix = premix / (peak + 1e-9) * scale
     premix = premix * active[:, :, None, None]

@@ -65,3 +65,38 @@ def powerlaw_psd_gaussian_jax(key, exponent: float, size) -> jnp.ndarray:
     si = si.at[..., 0].set(0)
     sr = sr.at[..., 0].multiply(np.sqrt(2))
     return jnp.fft.irfft(sr + 1j * si, n=samples, axis=-1) / sigma
+
+
+def colored_noise_traced(key, beta, n: int) -> jnp.ndarray:
+    """Colored noise with a TRACED per-sample exponent.
+
+    `powerlaw_psd_gaussian_jax` bakes the exponent into numpy constants;
+    this variant computes the 1/f^(beta/2) spectral envelope (and its
+    unit-variance normalizer) in jnp so `beta` can be drawn inside a jitted
+    batch (on-device background-noise augmentation, datagen.campaign).
+
+    key: PRNG key. beta: [...] traced exponents. n: static sample count.
+    Returns [..., n] float32 with (asymptotically) unit variance per row.
+    """
+    f = np.fft.rfftfreq(n)
+    fmin = 1.0 / n
+    f_c = jnp.asarray(np.maximum(f, fmin), jnp.float32)      # [nf]
+    beta = jnp.asarray(beta, jnp.float32)[..., None]
+    s_scale = f_c ** (-beta / 2.0)                           # [..., nf]
+    w = s_scale[..., 1:]
+    if not (n % 2):
+        w = w.at[..., -1].multiply(0.5)
+    else:
+        # odd n: last bin keeps full weight (matches the numpy reference)
+        pass
+    sigma = 2.0 * jnp.sqrt(jnp.sum(w ** 2, axis=-1, keepdims=True)) / n
+    kr, ki = jax.random.split(key)
+    shape = s_scale.shape
+    sr = jax.random.normal(kr, shape) * s_scale
+    si = jax.random.normal(ki, shape) * s_scale
+    if not (n % 2):
+        si = si.at[..., -1].set(0)
+        sr = sr.at[..., -1].multiply(np.sqrt(2))
+    si = si.at[..., 0].set(0)
+    sr = sr.at[..., 0].multiply(np.sqrt(2))
+    return jnp.fft.irfft(sr + 1j * si, n=n, axis=-1) / sigma

@@ -72,11 +72,17 @@ def main(args):
                   f"bf16={recorded.get('bf16')} (flag said {args.bf16})",
                   flush=True)
             args.bf16 = recorded.get("bf16")
+        rec_bg = recorded.get("bg_noise", 0.0)
+        if rec_bg != args.bg_noise:
+            print(f"RESUME: honoring the run's recorded bg_noise={rec_bg} "
+                  f"(flag said {args.bg_noise})", flush=True)
+            args.bg_noise = rec_bg
     else:
         with open(args_path, "w") as f:
             json.dump({"bf16": args.bf16, "voice": args.voice,
                        "batch": args.batch, "clip_seconds": args.clip_seconds,
-                       "snr_range": [args.snr_min, args.snr_max]}, f)
+                       "snr_range": [args.snr_min, args.snr_max],
+                       "bg_noise": args.bg_noise}, f)
 
     # training default: fused-chunked LSTM scans (in-scan gates, carried
     # weight-grad accumulators, 6 frames per while-iteration) — 1.6x the
@@ -107,6 +113,8 @@ def main(args):
     pool_dtype = jnp.bfloat16 if args.pool_bf16 else jnp.float32
 
     def host_pool(n, seed, tag):
+        if args.bg_noise > 0:
+            tag += "bg"                  # bg pools carry an extra slot
         cache = (Path(args.pool_cache) / f"{tag}_{n}_{seed}.npz"
                  if args.pool_cache else None)
         if cache is not None and not cache.exists():
@@ -127,7 +135,8 @@ def main(args):
         else:
             pool_, _ = campaign.build_pool(
                 n, seed=seed, sr=sr, rir_len=args.rir_len,
-                order_range=orders, dtype=jnp.float32, to_device=False)
+                order_range=orders, dtype=jnp.float32, to_device=False,
+                bg_noise=args.bg_noise > 0)
             if cache is not None:
                 cache.parent.mkdir(parents=True, exist_ok=True)
                 np.savez(cache, **pool_)
@@ -149,7 +158,8 @@ def main(args):
     def batch_loss(params, key, pool_, idx):
         inputs, targets = campaign.make_batch(
             key, pool_, idx, n_samples=n_samples, sr=sr,
-            snr_range=(args.snr_min, args.snr_max), voice=args.voice)
+            snr_range=(args.snr_min, args.snr_max), voice=args.voice,
+            bg_noise_p=args.bg_noise)
         model_in = {"mixture": inputs["mixture"]}
         if getattr(net.cfg, "conditional", True):
             model_in["dis_embed"] = inputs["dis_embed"]
@@ -310,6 +320,10 @@ if __name__ == "__main__":
                    default=True,
                    help="mixed-precision train step (bf16 activations, "
                         "fp32 master params/LSTM carry/loss)")
+    p.add_argument("--bg_noise", type=float, default=0.0,
+                   help="probability a sample carries far-field background "
+                        "noise (reference n_BG in {0,1}; needs a bg pool — "
+                        "see datagen.campaign.make_batch)")
     p.add_argument("--pool_cache", default=None,
                    help="directory for cached scenario pools (npz)")
     p.add_argument("--cpu", action="store_true",

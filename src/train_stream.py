@@ -114,7 +114,8 @@ def main(args):
 
     def host_pool(n, seed, tag):
         if args.bg_noise > 0:
-            tag += "bg"                  # bg pools carry an extra slot
+            tag = "bg" + tag             # bg pools carry an extra slot (the
+            # prefix keeps the plain tags' glob fallback from matching them)
         cache = (Path(args.pool_cache) / f"{tag}_{n}_{seed}.npz"
                  if args.pool_cache else None)
         if cache is not None and not cache.exists():

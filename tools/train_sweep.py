@@ -105,6 +105,8 @@ def main():
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--seconds", type=float, default=2.5)
     ap.add_argument("--datagen", action="store_true")
+    ap.add_argument("--bg", action="store_true",
+                    help="time the bg-noise datagen path (5-slot pool)")
     ap.add_argument("--dirfuse", default="0,1",
                     help="comma list of 0/1: sweep SB_BLSTM_DIRFUSE")
     ap.add_argument("--chunks_bwd", default="0",
@@ -117,8 +119,9 @@ def main():
 
     for b in [int(v) for v in args.batches.split(",")]:
         if args.datagen:
-            ms = time_datagen(b, seconds=args.seconds, steps=args.steps)
-            print(json.dumps({"what": "datagen", "batch": b,
+            ms = time_datagen(b, seconds=args.seconds, steps=args.steps,
+                              bg=args.bg)
+            print(json.dumps({"what": "datagen", "batch": b, "bg": args.bg,
                               "ms": round(ms, 1)}), flush=True)
             continue
         for k in [int(v) for v in args.chunks.split(",")]:

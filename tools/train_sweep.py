@@ -70,7 +70,7 @@ def time_train_step(batch, chunk, seconds=2.5, steps=6, dirfuse=False,
     return (time.perf_counter() - t0) / steps * 1e3
 
 
-def time_datagen(batch, seconds=2.5, steps=10, pool_n=64):
+def time_datagen(batch, seconds=2.5, steps=10, pool_n=64, bg=False):
     """make_batch alone (jitted), with the pool resident on device."""
     import jax
     import jax.numpy as jnp
@@ -78,12 +78,13 @@ def time_datagen(batch, seconds=2.5, steps=10, pool_n=64):
     from sound_bubble_tpu.datagen import campaign
 
     pool, _ = campaign.build_pool(pool_n, seed=0, sr=24000, rir_len=12000,
-                                  order_range=(10, 32), dtype=jnp.float32)
+                                  order_range=(10, 32), dtype=jnp.float32,
+                                  bg_noise=bg)
 
     def gen(key, idx):
         inputs, targets = campaign.make_batch(
             key, pool, idx, n_samples=int(seconds * 24000), sr=24000,
-            voice="mix")
+            voice="mix", bg_noise_p=0.5 if bg else 0.0)
         return inputs["mixture"], targets["target"]
 
     jgen = jax.jit(gen)

@@ -30,6 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 
 def pack_stack_params(cfg, params):
@@ -115,10 +116,111 @@ def pack_stack_params(cfg, params):
     return packed
 
 
+def pack_attn_params(cfg, params, f_len):
+    """Attention weights (block{i}.attn_* subtrees) -> stacked [B, ...] kernel
+    operands for the in-kernel local-attention path (`_kernel_attn`).
+
+    Layouts mirror `AttnProj`/`GridNetBlock` (models/tfgridnet/model.py:320-423,
+    reference `tfgridnet_causal.py:643-744`): per-proj Linear kernel [D, L*e],
+    PReLU alpha [1], per-head LayerNorm affine [2, F*e] (scale/bias shared
+    across heads), plus the output Linear/PReLU/LN over F*C.
+    """
+    B = cfg.B
+
+    def gather(name, *path):
+        out = []
+        for i in range(B):
+            node = params[f"block{i}"][name]
+            for k in path:
+                node = node[k]
+            out.append(np.asarray(node, np.float32))
+        return jnp.asarray(np.stack(out))
+
+    packed = {}
+    for tag in ("q", "k", "v"):
+        nm = f"attn_{tag}"
+        packed[f"{tag}_w"] = gather(nm, "proj", "kernel")
+        packed[f"{tag}_b"] = gather(nm, "proj", "bias")
+        packed[f"{tag}_a"] = jnp.asarray(np.stack(
+            [np.asarray(params[f"block{i}"][nm]["act"]["alpha"],
+                        np.float32).reshape(1) for i in range(B)]))
+        packed[f"{tag}_ln"] = jnp.stack(
+            [gather(nm, "norm", "scale"), gather(nm, "norm", "bias")], axis=1)
+    packed["o_w"] = gather("attn_out_proj", "kernel")
+    packed["o_b"] = gather("attn_out_proj", "bias")
+    packed["o_a"] = jnp.asarray(np.stack(
+        [np.asarray(params[f"block{i}"]["attn_out_act"]["alpha"],
+                    np.float32).reshape(1) for i in range(B)]))
+    packed["o_ln"] = jnp.stack(
+        [gather("attn_out_norm", "scale"), gather("attn_out_norm", "bias")],
+        axis=1)
+    return packed
+
+
 def _ln(x, s, b, eps):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _intra_blstm(b, x, i_ln_ref, wih_f_ref, wih_b_ref, whh_ref, b8_ref,
+                 proj_w_ref, proj_b_ref, gxf_ref, gxb_ref, yf_ref, yb_ref,
+                 f_len, hidden, eps):
+    """Fused-direction intra BLSTM over frequency + residual proj (one
+    block). x: [F, D] value; returns the updated x."""
+    H = hidden
+    h2 = 2 * H
+    F = f_len
+    z = _ln(x, i_ln_ref[b, 0], i_ln_ref[b, 1], eps)
+    gxf_ref[:] = (jnp.dot(z, wih_f_ref[b],
+                          preferred_element_type=jnp.float32)
+                  + b8_ref[b])[:, None, :]         # [F, 1, 8H]
+    gxb_ref[:] = jnp.dot(z, wih_b_ref[b],
+                         preferred_element_type=jnp.float32)[:, None, :]
+    whh_b = whh_ref[b]                             # [2H, 8H]
+
+    def step(f, carry):
+        h1, c1 = carry                             # [1, 2H] each
+        rev = F - 1 - f
+        gates = (gxf_ref[f] + gxb_ref[rev]
+                 + jnp.dot(h1, whh_b, preferred_element_type=jnp.float32))
+        ig = jax.nn.sigmoid(gates[:, 0:h2])
+        fg = jax.nn.sigmoid(gates[:, h2:2 * h2])
+        gg = jnp.tanh(gates[:, 2 * h2:3 * h2])
+        og = jax.nn.sigmoid(gates[:, 3 * h2:])
+        c1 = fg * c1 + ig * gg
+        h1 = og * jnp.tanh(c1)
+        yf_ref[f] = h1[:, :H]                      # fwd h at row f
+        yb_ref[rev] = h1[:, H:]                    # bwd h at mirrored row
+        return h1, c1
+
+    zero = jnp.zeros((1, h2), jnp.float32)
+    jax.lax.fori_loop(0, F, step, (zero, zero))
+    y2h = jnp.concatenate([yf_ref[:][:, 0], yb_ref[:][:, 0]], axis=-1)
+    return x + jnp.dot(y2h, proj_w_ref[b],
+                       preferred_element_type=jnp.float32) + proj_b_ref[b]
+
+
+def _inter_step(b, x, t_ln_ref, wih2_ref, whh2_ref, b2_ref, proj2_w_ref,
+                proj2_b_ref, h0_ref, c0_ref, h0_out_ref, c0_out_ref,
+                hidden, eps):
+    """ONE stateful inter-LSTM step, all F frequency lanes in parallel."""
+    H = hidden
+    z2 = _ln(x, t_ln_ref[b, 0], t_ln_ref[b, 1], eps)
+    g2 = (jnp.dot(z2, wih2_ref[b], preferred_element_type=jnp.float32)
+          + b2_ref[b]
+          + jnp.dot(h0_ref[b], whh2_ref[b],
+                    preferred_element_type=jnp.float32))
+    i2 = jax.nn.sigmoid(g2[:, 0:H])
+    f2 = jax.nn.sigmoid(g2[:, H:2 * H])
+    gg2 = jnp.tanh(g2[:, 2 * H:3 * H])
+    o2 = jax.nn.sigmoid(g2[:, 3 * H:])
+    c_new = f2 * c0_ref[b] + i2 * gg2
+    h_new = o2 * jnp.tanh(c_new)
+    h0_out_ref[b] = h_new
+    c0_out_ref[b] = c_new
+    return x + jnp.dot(h_new, proj2_w_ref[b],
+                       preferred_element_type=jnp.float32) + proj2_b_ref[b]
 
 
 def _kernel(x_ref, film_w_ref, film_b_ref, i_ln_ref, wih_f_ref, wih_b_ref,
@@ -127,61 +229,115 @@ def _kernel(x_ref, film_w_ref, film_b_ref, i_ln_ref, wih_f_ref, wih_b_ref,
             x_out_ref, h0_out_ref, c0_out_ref,
             gxf_ref, gxb_ref, yf_ref, yb_ref,
             *, n_blocks, f_len, hidden, use_film, eps):
-    H = hidden
-    h2 = 2 * H
-    F = f_len
     x = x_ref[:]                                   # [F, D] lives in VMEM
 
     for b in range(n_blocks):
         if use_film and b > 0:
             x = x * film_w_ref[b - 1] + film_b_ref[b - 1]
+        x = _intra_blstm(b, x, i_ln_ref, wih_f_ref, wih_b_ref, whh_ref,
+                         b8_ref, proj_w_ref, proj_b_ref, gxf_ref, gxb_ref,
+                         yf_ref, yb_ref, f_len, hidden, eps)
+        x = _inter_step(b, x, t_ln_ref, wih2_ref, whh2_ref, b2_ref,
+                        proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
+                        h0_out_ref, c0_out_ref, hidden, eps)
 
-        # ---- intra: fused-direction BLSTM over frequency ----
-        z = _ln(x, i_ln_ref[b, 0], i_ln_ref[b, 1], eps)
-        gxf_ref[:] = (jnp.dot(z, wih_f_ref[b],
-                              preferred_element_type=jnp.float32)
-                      + b8_ref[b])[:, None, :]     # [F, 1, 8H]
-        gxb_ref[:] = jnp.dot(z, wih_b_ref[b],
-                             preferred_element_type=jnp.float32)[:, None, :]
-        whh_b = whh_ref[b]                         # [2H, 8H]
+    x_out_ref[:] = x
 
-        def step(f, carry):
-            h1, c1 = carry                         # [1, 2H] each
-            rev = F - 1 - f
-            gates = (gxf_ref[f] + gxb_ref[rev]
-                     + jnp.dot(h1, whh_b, preferred_element_type=jnp.float32))
-            ig = jax.nn.sigmoid(gates[:, 0:h2])
-            fg = jax.nn.sigmoid(gates[:, h2:2 * h2])
-            gg = jnp.tanh(gates[:, 2 * h2:3 * h2])
-            og = jax.nn.sigmoid(gates[:, 3 * h2:])
-            c1 = fg * c1 + ig * gg
-            h1 = og * jnp.tanh(c1)
-            yf_ref[f] = h1[:, :H]                  # fwd h at row f
-            yb_ref[rev] = h1[:, H:]                # bwd h at mirrored row
-            return h1, c1
 
-        zero = jnp.zeros((1, h2), jnp.float32)
-        jax.lax.fori_loop(0, F, step, (zero, zero))
-        y2h = jnp.concatenate([yf_ref[:][:, 0], yb_ref[:][:, 0]], axis=-1)
-        x = x + jnp.dot(y2h, proj_w_ref[b],
-                        preferred_element_type=jnp.float32) + proj_b_ref[b]
+def _prelu_k(z, alpha):
+    return jnp.maximum(z, 0.0) + alpha * jnp.minimum(z, 0.0)
 
-        # ---- inter: ONE stateful LSTM step, all F lanes in parallel ----
-        z2 = _ln(x, t_ln_ref[b, 0], t_ln_ref[b, 1], eps)
-        g2 = (jnp.dot(z2, wih2_ref[b], preferred_element_type=jnp.float32)
-              + b2_ref[b]
-              + jnp.dot(h0_ref[b], whh2_ref[b],
-                        preferred_element_type=jnp.float32))
-        i2 = jax.nn.sigmoid(g2[:, 0:H])
-        f2 = jax.nn.sigmoid(g2[:, H:2 * H])
-        gg2 = jnp.tanh(g2[:, 2 * H:3 * H])
-        o2 = jax.nn.sigmoid(g2[:, 3 * H:])
-        c_new = f2 * c0_ref[b] + i2 * gg2
-        h_new = o2 * jnp.tanh(c_new)
-        h0_out_ref[b] = h_new
-        c0_out_ref[b] = c_new
-        x = x + jnp.dot(h_new, proj2_w_ref[b],
-                        preferred_element_type=jnp.float32) + proj2_b_ref[b]
+
+def _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads, e_dim,
+               eps):
+    """Local causal attention for one block at streaming T=1, with the K/V
+    rings resident in VMEM (`aref` = dict of packed attention operand refs;
+    kring/vring: [B, L, W, F*e] / [B, L, W, F*vd] aliased in->out).
+
+    Identical math to GridNetBlock's attn section
+    (models/tfgridnet/model.py:407-423, reference `tfgridnet_causal.py:643-744`)
+    exploiting that softmax attention without intra-window positions is
+    permutation-invariant over the W slots: the ring is written in place at
+    `pos` (no shift copies) and attended in storage order. Warmup zero slots
+    are attended exactly like the model's zero-initialized K_buf/V_buf.
+    """
+    import math as _math
+
+    F = f_len
+    C = x.shape[-1]
+    vd = C // heads
+    scale = 1.0 / _math.sqrt(F * e_dim)
+    zq = _prelu_k(jnp.dot(x, aref["q_w"][b],
+                          preferred_element_type=jnp.float32) + aref["q_b"][b],
+                  aref["q_a"][b][0])
+    zk = _prelu_k(jnp.dot(x, aref["k_w"][b],
+                          preferred_element_type=jnp.float32) + aref["k_b"][b],
+                  aref["k_a"][b][0])
+    zv = _prelu_k(jnp.dot(x, aref["v_w"][b],
+                          preferred_element_type=jnp.float32) + aref["v_b"][b],
+                  aref["v_a"][b][0])
+    outs = []
+    for h in range(heads):
+        # per-head flatten [F, e] -> [1, F*e] (row-major = AttnProj's
+        # transpose+reshape), then the shared-across-heads LayerNorm
+        qh = _ln(zq[:, h * e_dim:(h + 1) * e_dim].reshape(1, F * e_dim),
+                 aref["q_ln"][b, 0], aref["q_ln"][b, 1], eps)
+        kh = _ln(zk[:, h * e_dim:(h + 1) * e_dim].reshape(1, F * e_dim),
+                 aref["k_ln"][b, 0], aref["k_ln"][b, 1], eps)
+        vh = _ln(zv[:, h * vd:(h + 1) * vd].reshape(1, F * vd),
+                 aref["v_ln"][b, 0], aref["v_ln"][b, 1], eps)
+        kring_ref[b, h, pl.dslice(pos, 1)] = kh
+        vring_ref[b, h, pl.dslice(pos, 1)] = vh
+        kr = kring_ref[b, h]                       # [W, F*e] incl. current
+        vr = vring_ref[b, h]                       # [W, F*vd]
+        scores = jnp.dot(kr, qh[0], preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores * scale)
+        oh = jnp.dot(probs, vr, preferred_element_type=jnp.float32)
+        outs.append(oh.reshape(F, vd))
+    o = jnp.concatenate(outs, axis=-1)             # [F, C] head-minor
+    o = jnp.dot(o, aref["o_w"][b],
+                preferred_element_type=jnp.float32) + aref["o_b"][b]
+    o = _prelu_k(o, aref["o_a"][b][0])
+    o = _ln(o.reshape(1, F * C), aref["o_ln"][b, 0], aref["o_ln"][b, 1],
+            eps).reshape(F, C)
+    return x + o
+
+
+def _kernel_attn(x_ref, film_w_ref, film_b_ref, i_ln_ref, wih_f_ref,
+                 wih_b_ref, whh_ref, b8_ref, proj_w_ref, proj_b_ref,
+                 t_ln_ref, wih2_ref, whh2_ref, b2_ref, proj2_w_ref,
+                 proj2_b_ref,
+                 q_w_ref, q_b_ref, q_a_ref, q_ln_ref,
+                 k_w_ref, k_b_ref, k_a_ref, k_ln_ref,
+                 v_w_ref, v_b_ref, v_a_ref, v_ln_ref,
+                 o_w_ref, o_b_ref, o_a_ref, o_ln_ref,
+                 h0_ref, c0_ref, kring_in_ref, vring_in_ref, pos_ref,
+                 x_out_ref, h0_out_ref, c0_out_ref, kring_ref, vring_ref,
+                 gxf_ref, gxb_ref, yf_ref, yb_ref,
+                 *, n_blocks, f_len, hidden, heads, e_dim, use_film, eps):
+    """`_kernel` + in-kernel local attention per block. The rings arrive as
+    aliased in/out operands (kring_in is the same buffer as kring when the
+    caller donates; copied once otherwise)."""
+    kring_ref[:] = kring_in_ref[:]
+    vring_ref[:] = vring_in_ref[:]
+    pos = pos_ref[0]
+    aref = {"q_w": q_w_ref, "q_b": q_b_ref, "q_a": q_a_ref, "q_ln": q_ln_ref,
+            "k_w": k_w_ref, "k_b": k_b_ref, "k_a": k_a_ref, "k_ln": k_ln_ref,
+            "v_w": v_w_ref, "v_b": v_b_ref, "v_a": v_a_ref, "v_ln": v_ln_ref,
+            "o_w": o_w_ref, "o_b": o_b_ref, "o_a": o_a_ref, "o_ln": o_ln_ref}
+    x = x_ref[:]
+
+    for b in range(n_blocks):
+        if use_film and b > 0:
+            x = x * film_w_ref[b - 1] + film_b_ref[b - 1]
+        x = _intra_blstm(b, x, i_ln_ref, wih_f_ref, wih_b_ref, whh_ref,
+                         b8_ref, proj_w_ref, proj_b_ref, gxf_ref, gxb_ref,
+                         yf_ref, yb_ref, f_len, hidden, eps)
+        x = _inter_step(b, x, t_ln_ref, wih2_ref, whh2_ref, b2_ref,
+                        proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
+                        h0_out_ref, c0_out_ref, hidden, eps)
+        x = _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads,
+                       e_dim, eps)
 
     x_out_ref[:] = x
 
@@ -268,21 +424,9 @@ def _kernel_conv(x_ref, film_w_ref, film_b_ref, down_cat_ref, down_b_ref,
         x = x_out_ref[:]
 
         # ---- inter: identical to the non-conv kernel ----
-        z2 = _ln(x, t_ln_ref[b, 0], t_ln_ref[b, 1], eps)
-        g2 = (jnp.dot(z2, wih2_ref[b], preferred_element_type=jnp.float32)
-              + b2_ref[b]
-              + jnp.dot(h0_ref[b], whh2_ref[b],
-                        preferred_element_type=jnp.float32))
-        i2 = jax.nn.sigmoid(g2[:, 0:H])
-        f2 = jax.nn.sigmoid(g2[:, H:2 * H])
-        gg2 = jnp.tanh(g2[:, 2 * H:3 * H])
-        o2 = jax.nn.sigmoid(g2[:, 3 * H:])
-        c_new = f2 * c0_ref[b] + i2 * gg2
-        h_new = o2 * jnp.tanh(c_new)
-        h0_out_ref[b] = h_new
-        c0_out_ref[b] = c_new
-        x = x + jnp.dot(h_new, proj2_w_ref[b],
-                        preferred_element_type=jnp.float32) + proj2_b_ref[b]
+        x = _inter_step(b, x, t_ln_ref, wih2_ref, whh2_ref, b2_ref,
+                        proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
+                        h0_out_ref, c0_out_ref, hidden, eps)
 
     x_out_ref[:] = x
 
@@ -349,3 +493,70 @@ def gridnet_stack_step(packed, x, h0, c0, film_w=None, film_b=None,
       packed["t_ln"], packed["wih2"], packed["whh2"], packed["b2"],
       packed["proj2_w"], packed["proj2_b"], h0, c0)
     return out
+
+
+def attn_ring_bytes(cfg, f_len: int) -> int:
+    """fp32 footprint of the whole-stack K/V rings (the VMEM budget gate)."""
+    vd = cfg.D // cfg.L
+    per_slot = f_len * (cfg.E + vd) * 4
+    return cfg.B * cfg.L * cfg.local_atten_len * per_slot
+
+
+def gridnet_stack_step_attn(packed, packed_attn, x, h0, c0, k_ring, v_ring,
+                            pos, film_w=None, film_b=None, eps: float = 1e-5,
+                            interpret: bool = False):
+    """One streaming step of the full block stack INCLUDING local attention,
+    K/V rings resident in VMEM (use_attn=True, conv_lstm=False configs whose
+    rings fit — see `attn_ring_bytes`).
+
+    x: [F, D]; h0/c0: [B, F, H]; k_ring/v_ring: [B, L, W, F*E] / [B, L, W,
+    F*vd] slot-major ring buffers; pos: [1] int32 current slot. Returns
+    (x_out, h0', c0', k_ring', v_ring') — the caller advances pos by
+    (pos + 1) % W and should donate the rings (they are aliased in->out).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_blocks, _, hidden4 = packed["wih2"].shape
+    hidden = hidden4 // 4
+    f_len, d = x.shape
+    heads = k_ring.shape[1]
+    e_dim = k_ring.shape[3] // f_len
+    use_film = film_w is not None
+    if not use_film:
+        film_w = jnp.zeros((max(n_blocks - 1, 1), f_len, d), jnp.float32)
+        film_b = jnp.zeros_like(film_w)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = (jax.ShapeDtypeStruct((f_len, d), jnp.float32),
+                 jax.ShapeDtypeStruct((n_blocks, f_len, hidden), jnp.float32),
+                 jax.ShapeDtypeStruct((n_blocks, f_len, hidden), jnp.float32),
+                 jax.ShapeDtypeStruct(k_ring.shape, jnp.float32),
+                 jax.ShapeDtypeStruct(v_ring.shape, jnp.float32))
+    pa = packed_attn
+    operands = (x, film_w, film_b, packed["i_ln"], packed["wih_f"],
+                packed["wih_b"], packed["whh"], packed["b8"],
+                packed["proj_w"], packed["proj_b"], packed["t_ln"],
+                packed["wih2"], packed["whh2"], packed["b2"],
+                packed["proj2_w"], packed["proj2_b"],
+                pa["q_w"], pa["q_b"], pa["q_a"], pa["q_ln"],
+                pa["k_w"], pa["k_b"], pa["k_a"], pa["k_ln"],
+                pa["v_w"], pa["v_b"], pa["v_a"], pa["v_ln"],
+                pa["o_w"], pa["o_b"], pa["o_a"], pa["o_ln"],
+                h0, c0, k_ring, v_ring, pos)
+    return pl.pallas_call(
+        functools.partial(_kernel_attn, n_blocks=n_blocks, f_len=f_len,
+                          hidden=hidden, heads=heads, e_dim=e_dim,
+                          use_film=use_film, eps=eps),
+        out_shape=out_shape,
+        in_specs=[vmem] * 36 + [smem],
+        out_specs=(vmem,) * 5,
+        # the rings are read-modify-write state: alias them onto their
+        # outputs so XLA updates in place when the caller donates
+        input_output_aliases={34: 3, 35: 4},
+        scratch_shapes=[pltpu.VMEM((f_len, 1, 8 * hidden), jnp.float32),
+                        pltpu.VMEM((f_len, 1, 8 * hidden), jnp.float32),
+                        pltpu.VMEM((f_len, 1, hidden), jnp.float32),
+                        pltpu.VMEM((f_len, 1, hidden), jnp.float32)],
+        interpret=interpret,
+    )(*operands)

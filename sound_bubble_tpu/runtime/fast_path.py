@@ -6,10 +6,14 @@ whose loop overhead dominates single-stream latency. `FusedStreamer` runs the
 SAME math with the whole stack in one Pallas kernel
 (ops/pallas/stack_kernel.py); the STFT/feature/conv ends stay in XLA (they
 are parallel MXU work). Every config is covered: non-attention models run
-the whole stack in one kernel; `use_attn=True` models run one kernel per
-block with the local attention (parallel MXU matmuls, K/V rings too large
-for VMEM) between kernels in XLA. Output parity with the model forward is
-tested to 1e-4 (tests/test_fast_path.py).
+the whole stack in one kernel; `use_attn=True` models ALSO run the whole
+stack (attention included) in one kernel with the K/V rings resident in
+VMEM when they fit (`attn_ring_bytes` < ~10 MB; slot-major rings written in
+place — window softmax is permutation-invariant, so no shift copies), and
+otherwise fall back to one kernel per block with the local attention between
+kernels in XLA. `SB_FUSED_ATTN=0/1/auto` overrides the ring-budget gate.
+Output parity with the model forward is tested to 1e-4
+(tests/test_fast_path.py, incl. ring wraparound).
 
 Reference anchor: this replaces the reference's per-chunk ONNX/TFLite loop
 (`/root/reference/edge/causal_infer.py:75-87`) as the latency-serving path.
@@ -26,7 +30,8 @@ from sound_bubble_tpu.models.tfgridnet.model import (
 )
 from sound_bubble_tpu.ops.features import spatial_features
 from sound_bubble_tpu.ops.pallas.stack_kernel import (
-    gridnet_stack_step, pack_stack_params,
+    attn_ring_bytes, gridnet_stack_step, gridnet_stack_step_attn,
+    pack_attn_params, pack_stack_params,
 )
 from sound_bubble_tpu.ops.stft import istft, make_stft, stft
 
@@ -35,12 +40,28 @@ class FusedStreamer:
     """Stateful single-stream streaming wrapper (batch=1) on the fused
     kernel. Same `feed(window)` contract as ModelWrapper."""
 
-    def __init__(self, net, params, dis_embed=None, interpret: bool = False):
+    # VMEM budget for the in-kernel attention rings (the ~16 MB/core VMEM
+    # also holds the packed weights and the intra scratch)
+    _RING_BUDGET_BYTES = 10 * 2 ** 20
+
+    def __init__(self, net, params, dis_embed=None, interpret: bool = False,
+                 attn_in_kernel: bool | None = None):
+        import os
+
         cfg = net.cfg
         self.cfg = cfg
         self._params = params
         self._interpret = interpret
         self._packed = pack_stack_params(cfg, params)
+        if attn_in_kernel is None:
+            env = os.environ.get("SB_FUSED_ATTN", "auto")
+            attn_in_kernel = (env != "0") and (
+                env == "1"
+                or attn_ring_bytes(cfg, cfg.n_freqs) < self._RING_BUDGET_BYTES)
+        self._attn_in_kernel = (cfg.use_attn and not cfg.conv_lstm
+                                and attn_in_kernel)
+        self._packed_attn = (pack_attn_params(cfg, params, cfg.n_freqs)
+                             if self._attn_in_kernel else None)
         self._film = self._precompute_film(dis_embed)
         self.internal_state = None
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
@@ -94,6 +115,27 @@ class FusedStreamer:
     def reset(self):
         self.internal_state = None
 
+    def _make_state(self):
+        """Model init_state, plus slot-major K/V ring buffers + position when
+        the attention runs inside the kernel (the per-block K_buf/V_buf shift
+        buffers in the model layout are ignored on that path — output parity
+        is what's tested, the flatbuf export keeps using ModelWrapper)."""
+        cfg = self.cfg
+        state = init_state(cfg, 1)
+        if self._attn_in_kernel:
+            F, W = cfg.n_freqs, cfg.local_atten_len
+            for i in range(cfg.B):
+                b = dict(state["gridnet_bufs"][f"buf{i}"])
+                b.pop("K_buf", None)
+                b.pop("V_buf", None)
+                state["gridnet_bufs"][f"buf{i}"] = b
+            state["k_ring"] = jnp.zeros(
+                (cfg.B, cfg.L, W, F * cfg.E), jnp.float32)
+            state["v_ring"] = jnp.zeros(
+                (cfg.B, cfg.L, W, F * (cfg.D // cfg.L)), jnp.float32)
+            state["attn_pos"] = jnp.zeros((1,), jnp.int32)
+        return state
+
     def _step_impl(self, window, state, film):
         """window: [1, M, chunk+pad] -> (out [1, num_src, chunk], state')."""
         cfg, params = self.cfg, self._params
@@ -128,6 +170,19 @@ class FusedStreamer:
             next_state["gridnet_bufs"] = {
                 f"buf{i}": {"h0": h0n[i][None], "c0": c0n[i][None]}
                 for i in range(cfg.B)}
+        elif self._attn_in_kernel:
+            # whole stack incl. attention in ONE kernel, K/V rings in VMEM
+            x, h0n, c0n, krn, vrn = gridnet_stack_step_attn(
+                self._packed, self._packed_attn, h[0, 0], h0, c0,
+                state["k_ring"], state["v_ring"], state["attn_pos"],
+                fw, fb_, eps=cfg.eps, interpret=self._interpret)
+            next_state["gridnet_bufs"] = {
+                f"buf{i}": {"h0": h0n[i][None], "c0": c0n[i][None]}
+                for i in range(cfg.B)}
+            next_state["k_ring"] = krn
+            next_state["v_ring"] = vrn
+            next_state["attn_pos"] = (
+                (state["attn_pos"] + 1) % cfg.local_atten_len)
         else:
             # attention configs: per-block fused kernel for the sequential
             # intra/inter chains; the K/V rings (too large for VMEM across
@@ -184,7 +239,7 @@ class FusedStreamer:
     def feed(self, window):
         window = jnp.asarray(np.asarray(window, np.float32))
         if self.internal_state is None:
-            self.internal_state = init_state(self.cfg, 1)
+            self.internal_state = self._make_state()
         out, self.internal_state = self._step(window, self.internal_state,
                                               self._film)
         return out
@@ -196,7 +251,7 @@ def fused_scan_stream(net, params, windows, dis_embed=None,
     harness for bench.py): windows [n_chunks, 1, M, chunk+pad] chained with
     lax.scan through the fused step."""
     fs = FusedStreamer(net, params, dis_embed, interpret=interpret)
-    state0 = init_state(net.cfg, 1)
+    state0 = fs._make_state()
 
     def body(st, win):
         y, st2 = fs._step_impl(win, st, fs._film)

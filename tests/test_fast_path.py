@@ -16,10 +16,11 @@ SMALL = dict(stft_chunk_size=32, stft_pad_size=16, num_ch=6, D=8, B=3, H=8,
 
 @pytest.mark.parametrize(
     "variant", ["cond", "uncond", "masking", "conv_lstm", "back_pad",
-                "attn", "attn_conv"])
+                "attn", "attn_conv", "attn_vmem", "attn_vmem_uncond"])
 def test_fused_matches_model(variant, rng):
     params_dict = dict(SMALL)
-    conditional = variant != "uncond"
+    conditional = variant not in ("uncond", "attn_vmem_uncond")
+    attn_in_kernel = None
     if variant == "masking":
         params_dict.update(spectral_masking=True)
     elif variant == "conv_lstm":
@@ -32,9 +33,16 @@ def test_fused_matches_model(variant, rng):
         # per-block kernel + XLA attention hybrid; W smaller than the
         # 8-chunk stream so the K/V ring wraps mid-test
         params_dict.update(use_attn=True, local_atten_len=5)
+        attn_in_kernel = False
     elif variant == "attn_conv":
         params_dict.update(use_attn=True, local_atten_len=5,
                            conv_lstm=True, lstm_down=2)
+    elif variant.startswith("attn_vmem"):
+        # whole-stack kernel with the K/V rings in VMEM; W smaller than the
+        # 8-chunk stream so the slot ring wraps (permutation-invariance of
+        # the window softmax is what makes the ring exact)
+        params_dict.update(use_attn=True, local_atten_len=5)
+        attn_in_kernel = True
     net = make_net(params_dict, conditional=conditional)
     cfg = net.cfg
     x = rng.standard_normal(
@@ -51,7 +59,8 @@ def test_fused_matches_model(variant, rng):
         ModelWrapper(net, params), x, cfg.stft_chunk_size,
         cfg.stft_pad_size + cfg.stft_back_pad, dis_embed=dis))
 
-    fs = FusedStreamer(net, params, dis_embed=dis, interpret=True)
+    fs = FusedStreamer(net, params, dis_embed=dis, interpret=True,
+                       attn_in_kernel=attn_in_kernel)
     T, P = cfg.stft_chunk_size, cfg.stft_pad_size + cfg.stft_back_pad
     window = np.zeros((1, 6, T + P), np.float32)
     window[..., -P:] = x[..., :P]

@@ -354,79 +354,127 @@ def _kernel_conv(x_ref, film_w_ref, film_b_ref, down_cat_ref, down_b_ref,
     up -> pad-to-F. The down conv is phase-split (`pack_stack_params`): one
     [F, C] @ [C, s*C] matmul precomputes every frame's taps; each sequential
     step gathers its s rows, so the recurrence is k steps, not F."""
-    H = hidden
-    h2 = 2 * H
-    F = f_len
-    k = F // s
     x = x_ref[:]                                   # [F, D]
-    C = x.shape[-1]
 
     for b in range(n_blocks):
         if use_film and b > 0:
             x = x * film_w_ref[b - 1] + film_b_ref[b - 1]
-
-        # ---- intra (conv_lstm) ----
-        taps_ref[:] = jnp.dot(x, down_cat_ref[b],
-                              preferred_element_type=jnp.float32)
-        alpha = alpha_ref[b][0]
-        whh_b = whh_ref[b]
-
-        def gx_step(f, _):
-            z = down_b_ref[b][None, :]
-            for j in range(s):
-                z = z + taps_ref[f * s + j, j * C:(j + 1) * C][None, :]
-            z = jnp.maximum(z, 0) + alpha * jnp.minimum(z, 0)
-            z = _ln(z, i_ln_ref[b, 0], i_ln_ref[b, 1], eps)
-            gxf_ref[f] = (jnp.dot(z, wih_f_ref[b],
-                                  preferred_element_type=jnp.float32)
-                          + b8_ref[b])
-            gxb_ref[f] = jnp.dot(z, wih_b_ref[b],
-                                 preferred_element_type=jnp.float32)
-            return 0
-
-        jax.lax.fori_loop(0, k, gx_step, 0)
-
-        def step(f, carry):
-            h1, c1 = carry                         # [1, 2H]
-            rev = k - 1 - f
-            gates = (gxf_ref[f] + gxb_ref[rev]
-                     + jnp.dot(h1, whh_b, preferred_element_type=jnp.float32))
-            ig = jax.nn.sigmoid(gates[:, 0:h2])
-            fg = jax.nn.sigmoid(gates[:, h2:2 * h2])
-            gg = jnp.tanh(gates[:, 2 * h2:3 * h2])
-            og = jax.nn.sigmoid(gates[:, 3 * h2:])
-            c1 = fg * c1 + ig * gg
-            h1 = og * jnp.tanh(c1)
-            yf_ref[f] = h1[:, :H]
-            yb_ref[rev] = h1[:, H:]
-            return h1, c1
-
-        zero = jnp.zeros((1, h2), jnp.float32)
-        jax.lax.fori_loop(0, k, step, (zero, zero))
-        y2h = jnp.concatenate([yf_ref[:][:, 0], yb_ref[:][:, 0]], axis=-1)
-        # reuse the taps scratch (free after gx_step) for the up output so
-        # the per-row gather below indexes a ref, not a loop-carried value
-        taps_ref[0:k] = jnp.dot(y2h, up_flat_ref[b],
-                                preferred_element_type=jnp.float32)  # [k,s*C]
-        up_b = up_b_ref[b]
-
-        # residual add; rows >= k*s keep x (reference pads zeros `:811-813`)
-        x_out_ref[:] = x
-
-        def up_step(f, _):
-            for j in range(s):
-                x_out_ref[f * s + j] = (
-                    x_out_ref[f * s + j]
-                    + taps_ref[f, j * C:(j + 1) * C] + up_b)
-            return 0
-
-        jax.lax.fori_loop(0, k, up_step, 0)
-        x = x_out_ref[:]
-
-        # ---- inter: identical to the non-conv kernel ----
+        x = _intra_conv(b, x, down_cat_ref, down_b_ref, alpha_ref, i_ln_ref,
+                        wih_f_ref, wih_b_ref, whh_ref, b8_ref, up_flat_ref,
+                        up_b_ref, x_out_ref, taps_ref, gxf_ref, gxb_ref,
+                        yf_ref, yb_ref, hidden, s, eps)
         x = _inter_step(b, x, t_ln_ref, wih2_ref, whh2_ref, b2_ref,
                         proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
                         h0_out_ref, c0_out_ref, hidden, eps)
+
+    x_out_ref[:] = x
+
+
+def _intra_conv(b, x, down_cat_ref, down_b_ref, alpha_ref, i_ln_ref,
+                wih_f_ref, wih_b_ref, whh_ref, b8_ref, up_flat_ref, up_b_ref,
+                x_out_ref, taps_ref, gxf_ref, gxb_ref, yf_ref, yb_ref,
+                hidden, s, eps):
+    """conv_lstm intra for one block (see `_kernel_conv` docstring). Uses
+    x_out_ref as the residual-accumulation scratch; returns updated x."""
+    H = hidden
+    h2 = 2 * H
+    F = x.shape[0]
+    C = x.shape[-1]
+    k = F // s
+
+    taps_ref[:] = jnp.dot(x, down_cat_ref[b],
+                          preferred_element_type=jnp.float32)
+    alpha = alpha_ref[b][0]
+    whh_b = whh_ref[b]
+
+    def gx_step(f, _):
+        z = down_b_ref[b][None, :]
+        for j in range(s):
+            z = z + taps_ref[f * s + j, j * C:(j + 1) * C][None, :]
+        z = jnp.maximum(z, 0) + alpha * jnp.minimum(z, 0)
+        z = _ln(z, i_ln_ref[b, 0], i_ln_ref[b, 1], eps)
+        gxf_ref[f] = (jnp.dot(z, wih_f_ref[b],
+                              preferred_element_type=jnp.float32)
+                      + b8_ref[b])
+        gxb_ref[f] = jnp.dot(z, wih_b_ref[b],
+                             preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, k, gx_step, 0)
+
+    def step(f, carry):
+        h1, c1 = carry                             # [1, 2H]
+        rev = k - 1 - f
+        gates = (gxf_ref[f] + gxb_ref[rev]
+                 + jnp.dot(h1, whh_b, preferred_element_type=jnp.float32))
+        ig = jax.nn.sigmoid(gates[:, 0:h2])
+        fg = jax.nn.sigmoid(gates[:, h2:2 * h2])
+        gg = jnp.tanh(gates[:, 2 * h2:3 * h2])
+        og = jax.nn.sigmoid(gates[:, 3 * h2:])
+        c1 = fg * c1 + ig * gg
+        h1 = og * jnp.tanh(c1)
+        yf_ref[f] = h1[:, :H]
+        yb_ref[rev] = h1[:, H:]
+        return h1, c1
+
+    zero = jnp.zeros((1, h2), jnp.float32)
+    jax.lax.fori_loop(0, k, step, (zero, zero))
+    y2h = jnp.concatenate([yf_ref[:][:, 0], yb_ref[:][:, 0]], axis=-1)
+    # reuse the taps scratch (free after gx_step) for the up output so
+    # the per-row gather below indexes a ref, not a loop-carried value
+    taps_ref[0:k] = jnp.dot(y2h, up_flat_ref[b],
+                            preferred_element_type=jnp.float32)  # [k, s*C]
+    up_b = up_b_ref[b]
+
+    # residual add; rows >= k*s keep x (reference pads zeros `:811-813`)
+    x_out_ref[:] = x
+
+    def up_step(f, _):
+        for j in range(s):
+            x_out_ref[f * s + j] = (
+                x_out_ref[f * s + j]
+                + taps_ref[f, j * C:(j + 1) * C] + up_b)
+        return 0
+
+    jax.lax.fori_loop(0, k, up_step, 0)
+    return x_out_ref[:]
+
+
+def _kernel_conv_attn(x_ref, film_w_ref, film_b_ref, down_cat_ref,
+                      down_b_ref, alpha_ref, i_ln_ref, wih_f_ref, wih_b_ref,
+                      whh_ref, b8_ref, up_flat_ref, up_b_ref, t_ln_ref,
+                      wih2_ref, whh2_ref, b2_ref, proj2_w_ref, proj2_b_ref,
+                      q_w_ref, q_b_ref, q_a_ref, q_ln_ref,
+                      k_w_ref, k_b_ref, k_a_ref, k_ln_ref,
+                      v_w_ref, v_b_ref, v_a_ref, v_ln_ref,
+                      o_w_ref, o_b_ref, o_a_ref, o_ln_ref,
+                      h0_ref, c0_ref, kring_in_ref, vring_in_ref, pos_ref,
+                      x_out_ref, h0_out_ref, c0_out_ref, kring_ref, vring_ref,
+                      taps_ref, gxf_ref, gxb_ref, yf_ref, yb_ref,
+                      *, n_blocks, f_len, hidden, s, heads, e_dim, use_film,
+                      eps):
+    """`_kernel_conv` + in-kernel local attention per block."""
+    kring_ref[:] = kring_in_ref[:]
+    vring_ref[:] = vring_in_ref[:]
+    pos = pos_ref[0]
+    aref = {"q_w": q_w_ref, "q_b": q_b_ref, "q_a": q_a_ref, "q_ln": q_ln_ref,
+            "k_w": k_w_ref, "k_b": k_b_ref, "k_a": k_a_ref, "k_ln": k_ln_ref,
+            "v_w": v_w_ref, "v_b": v_b_ref, "v_a": v_a_ref, "v_ln": v_ln_ref,
+            "o_w": o_w_ref, "o_b": o_b_ref, "o_a": o_a_ref, "o_ln": o_ln_ref}
+    x = x_ref[:]
+
+    for b in range(n_blocks):
+        if use_film and b > 0:
+            x = x * film_w_ref[b - 1] + film_b_ref[b - 1]
+        x = _intra_conv(b, x, down_cat_ref, down_b_ref, alpha_ref, i_ln_ref,
+                        wih_f_ref, wih_b_ref, whh_ref, b8_ref, up_flat_ref,
+                        up_b_ref, x_out_ref, taps_ref, gxf_ref, gxb_ref,
+                        yf_ref, yb_ref, hidden, s, eps)
+        x = _inter_step(b, x, t_ln_ref, wih2_ref, whh2_ref, b2_ref,
+                        proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
+                        h0_out_ref, c0_out_ref, hidden, eps)
+        x = _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads,
+                       e_dim, eps)
 
     x_out_ref[:] = x
 
@@ -534,16 +582,44 @@ def gridnet_stack_step_attn(packed, packed_attn, x, h0, c0, k_ring, v_ring,
                  jax.ShapeDtypeStruct(k_ring.shape, jnp.float32),
                  jax.ShapeDtypeStruct(v_ring.shape, jnp.float32))
     pa = packed_attn
-    operands = (x, film_w, film_b, packed["i_ln"], packed["wih_f"],
-                packed["wih_b"], packed["whh"], packed["b8"],
-                packed["proj_w"], packed["proj_b"], packed["t_ln"],
-                packed["wih2"], packed["whh2"], packed["b2"],
-                packed["proj2_w"], packed["proj2_b"],
-                pa["q_w"], pa["q_b"], pa["q_a"], pa["q_ln"],
+    attn_ops = (pa["q_w"], pa["q_b"], pa["q_a"], pa["q_ln"],
                 pa["k_w"], pa["k_b"], pa["k_a"], pa["k_ln"],
                 pa["v_w"], pa["v_b"], pa["v_a"], pa["v_ln"],
-                pa["o_w"], pa["o_b"], pa["o_a"], pa["o_ln"],
-                h0, c0, k_ring, v_ring, pos)
+                pa["o_w"], pa["o_b"], pa["o_a"], pa["o_ln"])
+    state_ops = (h0, c0, k_ring, v_ring, pos)
+
+    if "down_cat" in packed:  # conv_lstm intra variant
+        s = packed["lstm_down"]
+        k = f_len // s
+        operands = ((x, film_w, film_b, packed["down_cat"], packed["down_b"],
+                     packed["alpha"], packed["i_ln"], packed["wih_f"],
+                     packed["wih_b"], packed["whh"], packed["b8"],
+                     packed["up_flat"], packed["up_b"], packed["t_ln"],
+                     packed["wih2"], packed["whh2"], packed["b2"],
+                     packed["proj2_w"], packed["proj2_b"])
+                    + attn_ops + state_ops)
+        return pl.pallas_call(
+            functools.partial(_kernel_conv_attn, n_blocks=n_blocks,
+                              f_len=f_len, hidden=hidden, s=s, heads=heads,
+                              e_dim=e_dim, use_film=use_film, eps=eps),
+            out_shape=out_shape,
+            in_specs=[vmem] * 39 + [smem],
+            out_specs=(vmem,) * 5,
+            input_output_aliases={37: 3, 38: 4},
+            scratch_shapes=[pltpu.VMEM((f_len, s * d), jnp.float32),
+                            pltpu.VMEM((k, 1, 8 * hidden), jnp.float32),
+                            pltpu.VMEM((k, 1, 8 * hidden), jnp.float32),
+                            pltpu.VMEM((k, 1, hidden), jnp.float32),
+                            pltpu.VMEM((k, 1, hidden), jnp.float32)],
+            interpret=interpret,
+        )(*operands)
+
+    operands = ((x, film_w, film_b, packed["i_ln"], packed["wih_f"],
+                 packed["wih_b"], packed["whh"], packed["b8"],
+                 packed["proj_w"], packed["proj_b"], packed["t_ln"],
+                 packed["wih2"], packed["whh2"], packed["b2"],
+                 packed["proj2_w"], packed["proj2_b"])
+                + attn_ops + state_ops)
     return pl.pallas_call(
         functools.partial(_kernel_attn, n_blocks=n_blocks, f_len=f_len,
                           hidden=hidden, heads=heads, e_dim=e_dim,

@@ -58,8 +58,7 @@ class FusedStreamer:
             attn_in_kernel = (env != "0") and (
                 env == "1"
                 or attn_ring_bytes(cfg, cfg.n_freqs) < self._RING_BUDGET_BYTES)
-        self._attn_in_kernel = (cfg.use_attn and not cfg.conv_lstm
-                                and attn_in_kernel)
+        self._attn_in_kernel = cfg.use_attn and attn_in_kernel
         self._packed_attn = (pack_attn_params(cfg, params, cfg.n_freqs)
                              if self._attn_in_kernel else None)
         self._film = self._precompute_film(dis_embed)

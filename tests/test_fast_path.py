@@ -16,7 +16,8 @@ SMALL = dict(stft_chunk_size=32, stft_pad_size=16, num_ch=6, D=8, B=3, H=8,
 
 @pytest.mark.parametrize(
     "variant", ["cond", "uncond", "masking", "conv_lstm", "back_pad",
-                "attn", "attn_conv", "attn_vmem", "attn_vmem_uncond"])
+                "attn", "attn_conv", "attn_vmem", "attn_vmem_uncond",
+                "attn_conv_vmem"])
 def test_fused_matches_model(variant, rng):
     params_dict = dict(SMALL)
     conditional = variant not in ("uncond", "attn_vmem_uncond")
@@ -37,6 +38,11 @@ def test_fused_matches_model(variant, rng):
     elif variant == "attn_conv":
         params_dict.update(use_attn=True, local_atten_len=5,
                            conv_lstm=True, lstm_down=2)
+        attn_in_kernel = False
+    elif variant == "attn_conv_vmem":
+        params_dict.update(use_attn=True, local_atten_len=5,
+                           conv_lstm=True, lstm_down=2)
+        attn_in_kernel = True
     elif variant.startswith("attn_vmem"):
         # whole-stack kernel with the K/V rings in VMEM; W smaller than the
         # 8-chunk stream so the slot ring wraps (permutation-invariance of

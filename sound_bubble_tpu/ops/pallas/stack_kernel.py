@@ -290,8 +290,12 @@ def _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads, e_dim,
         vring_ref[b, h, pl.dslice(pos, 1)] = vh
         kr = kring_ref[b, h]                       # [W, F*e] incl. current
         vr = vring_ref[b, h]                       # [W, F*vd]
-        scores = jnp.dot(kr, qh[0], preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores * scale)
+        # all dots stay 2-D (Mosaic rejects 1-D matvec operands): contract
+        # the F*e axis of [1, F*e] x [W, F*e] -> [1, W]
+        scores = jax.lax.dot_general(
+            qh, kr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores * scale, axis=-1)
         oh = jnp.dot(probs, vr, preferred_element_type=jnp.float32)
         outs.append(oh.reshape(F, vd))
     o = jnp.concatenate(outs, axis=-1)             # [F, C] head-minor

@@ -18,10 +18,22 @@ and the LSTM states resident in VMEM for the whole step:
 - FiLM between blocks is a fused multiply-add with precomputed per-block
   [F, D] scale/bias (the distance embedding is fixed per stream).
 
-Covers `use_attn=False, conv_lstm=False` configs (the production separator,
-`/root/reference/syn_experiments/pretrain_stage.json`); other configs keep
-the XLA path. Conv/STFT ends stay in XLA — they are parallel MXU work with
-no dependent-chain latency (see runtime/fast_path.py for the full step).
+Covers the FULL config matrix (see runtime/fast_path.py:1-21 for the gate):
+
+- plain and `conv_lstm=True` intra paths (`_kernel` / `_kernel_conv`; the
+  conv variant packs the down/up convs as phase-split matmuls);
+- `use_attn=True` runs the local attention IN-kernel (`_kernel_attn` /
+  `_kernel_conv_attn`): slot-major K/V rings stay resident in VMEM, written
+  in place at `pos` via `pl.dslice` — window softmax is permutation-
+  invariant over slots, so the ring needs no shift copies; ring wraparound
+  parity is tested (tests/test_fast_path.py attn_vmem variants). The path
+  is auto-gated on `attn_ring_bytes(cfg, F)` < ~10 MB (the rings share
+  ~16 MB/core VMEM with the packed weights and intra scratch); larger
+  configs fall back to the per-block-kernel + XLA-attention hybrid.
+- look-back (`stft_back_pad > 0`) decoding stays in the XLA ends.
+
+Conv/STFT ends stay in XLA — they are parallel MXU work with no
+dependent-chain latency (see runtime/fast_path.py for the full step).
 """
 from __future__ import annotations
 
@@ -116,7 +128,7 @@ def pack_stack_params(cfg, params):
     return packed
 
 
-def pack_attn_params(cfg, params, f_len):
+def pack_attn_params(cfg, params):
     """Attention weights (block{i}.attn_* subtrees) -> stacked [B, ...] kernel
     operands for the in-kernel local-attention path (`_kernel_attn`).
 
@@ -248,8 +260,7 @@ def _prelu_k(z, alpha):
     return jnp.maximum(z, 0.0) + alpha * jnp.minimum(z, 0.0)
 
 
-def _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads, e_dim,
-               eps):
+def _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads, e_dim):
     """Local causal attention for one block at streaming T=1, with the K/V
     rings resident in VMEM (`aref` = dict of packed attention operand refs;
     kring/vring: [B, L, W, F*e] / [B, L, W, F*vd] aliased in->out).
@@ -267,6 +278,9 @@ def _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads, e_dim,
     C = x.shape[-1]
     vd = C // heads
     scale = 1.0 / _math.sqrt(F * e_dim)
+    # the model's attention LayerNorms (AttnProj norm / attn_out_norm) use
+    # flax LayerNorm's default eps=1e-5, NOT cfg.eps — keep all paths agreeing
+    eps = 1e-5
     zq = _prelu_k(jnp.dot(x, aref["q_w"][b],
                           preferred_element_type=jnp.float32) + aref["q_b"][b],
                   aref["q_a"][b][0])
@@ -341,7 +355,7 @@ def _kernel_attn(x_ref, film_w_ref, film_b_ref, i_ln_ref, wih_f_ref,
                         proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
                         h0_out_ref, c0_out_ref, hidden, eps)
         x = _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads,
-                       e_dim, eps)
+                       e_dim)
 
     x_out_ref[:] = x
 
@@ -478,7 +492,7 @@ def _kernel_conv_attn(x_ref, film_w_ref, film_b_ref, down_cat_ref,
                         proj2_w_ref, proj2_b_ref, h0_ref, c0_ref,
                         h0_out_ref, c0_out_ref, hidden, eps)
         x = _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads,
-                       e_dim, eps)
+                       e_dim)
 
     x_out_ref[:] = x
 

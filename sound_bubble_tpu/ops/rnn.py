@@ -47,7 +47,10 @@ _PALLAS_TRAIN = os.environ.get("SB_LSTM_PALLAS_TRAIN", "0") == "1"
 # gradients accumulate in the backward scan carry instead of stacking a
 # [T, rows, 4H] dgates_seq for post-scan matmuls, and the BLSTM backward
 # direction runs as lax.scan(reverse=True) instead of two jnp.flip copies.
-_FUSED_SCAN = os.environ.get("SB_LSTM_FUSED", "0") == "1"
+# DEFAULT ON since round 4: measured 1.6x the autodiff step on TPU v5e
+# (157 vs 254 ms production step, chunk sweep below); exact same math/grads
+# (tests/test_rnn.py pins both paths to 1e-5). SB_LSTM_FUSED=0 opts out.
+_FUSED_SCAN = os.environ.get("SB_LSTM_FUSED", "1") == "1"
 # frames per while-iteration in the fused scans. The train step is
 # ITERATION-COUNT-bound, not FLOP- or bandwidth-bound: xprof on the
 # production step (2026-08-17, batch 8 bf16, 54 scans x ~200-313 frames =

@@ -59,7 +59,7 @@ class FusedStreamer:
                 env == "1"
                 or attn_ring_bytes(cfg, cfg.n_freqs) < self._RING_BUDGET_BYTES)
         self._attn_in_kernel = cfg.use_attn and attn_in_kernel
-        self._packed_attn = (pack_attn_params(cfg, params, cfg.n_freqs)
+        self._packed_attn = (pack_attn_params(cfg, params)
                              if self._attn_in_kernel else None)
         self._film = self._precompute_film(dis_embed)
         self.internal_state = None

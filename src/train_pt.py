@@ -55,6 +55,19 @@ def train(args: argparse.Namespace):
 
     hl_module = utils.import_attr(params["pl_module"])(
         **params["pl_module_args"])
+    if getattr(args, "bf16", False):
+        # bf16 trunk with fp32 master params and fp32 waveform/STFT front-end
+        # (same mixed-precision recipe as src/train_stream.py --bf16; the
+        # fused LSTM scans are already the library default, ops/rnn.py)
+        import dataclasses as _dc
+        cfg = getattr(hl_module.net, "cfg", None)
+        if cfg is not None and hasattr(cfg, "compute_dtype"):
+            hl_module.net = type(hl_module.net)(
+                _dc.replace(cfg, compute_dtype="bf16"))
+            hl_module._build_steps()
+            print("bf16 trunk enabled (fp32 master params / front-end)")
+        else:
+            print("--bf16 ignored: model has no compute_dtype config")
 
     run_name = os.path.basename(args.run_dir.rstrip("/"))
     checkpoints_dir = os.path.join(args.run_dir, "checkpoints")
@@ -130,4 +143,7 @@ if __name__ == "__main__":
                         help="Accepted for CLI compatibility (no-op on TPU)")
     parser.add_argument("--project_name", type=str, default="AcousticBubble",
                         help="Project name for experiment tracking")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 trunk (fp32 master params); extension "
+                             "over the reference CLI, off by default")
     train(parser.parse_args())

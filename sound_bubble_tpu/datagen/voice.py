@@ -7,18 +7,26 @@ classic Klatt-style parallel-formant synthesis chain, built entirely from
 XLA-friendly ops (cumsum, rfft/irfft, interp — no data-dependent control
 flow), so it runs inside the jitted campaign train step:
 
-1. a syllable track (~5 syll/s slots; voiced / unvoiced / pause types) with
-   per-syllable F0, formant (F1-F3) and amplitude targets, linearly
-   interpolated between syllable centers (articulator-like trajectories) and
-   smoothed at ~35 ms (raised-cosine onsets/offsets);
-2. excitation: a glottal impulse train from the running phase of the
-   jittered F0 contour (period jitter + slow declination), plus aspiration
-   noise when voiced and full noise when unvoiced;
-3. time-varying spectral envelope applied frame-wise (20 ms sqrt-Hann STFT,
+1. a syllable track (~5 syll/s slots; voiced / unvoiced / plosive-onset /
+   pause types) with per-syllable F0, formant (F1-F3) and amplitude targets,
+   linearly interpolated between syllable centers (articulator-like
+   trajectories) and smoothed at ~35 ms (raised-cosine onsets/offsets);
+2. PER-SPEAKER parameter draws (round 4): vocal-tract-length factor scaling
+   all formant targets (correlated with the speaker's F0 base, as in real
+   talkers), F0 excursion range, speaking rate, and breathiness — so a batch
+   spans talker variability, not just utterance variability;
+3. excitation: a glottal impulse train from the running phase of the
+   jittered F0 contour (period jitter + slow declination), aspiration
+   noise when voiced, full noise when unvoiced, and PLOSIVE BURSTS
+   (round 4): ~16% of voiced syllables begin with a 10-15 ms decaying
+   broadband transient at the syllable onset — the stop-consonant energy
+   jumps real speech has and pure formant synthesis lacks;
+4. time-varying spectral envelope applied frame-wise (20 ms sqrt-Hann STFT,
    75% overlap): sum of three Lorentzian formant resonances with a -6 dB/oct
-   glottal tilt when voiced, blended with a high-frequency fricative
-   envelope when unvoiced;
-4. random leading silence (reference `load_voice_clip`'s zero_front,
+   glottal tilt when voiced, blended with a PER-SYLLABLE fricative resonance
+   (round 4: each unvoiced syllable draws its own 2.5-7 kHz center, so /s/-
+   vs /sh/-like spectra alternate) when unvoiced;
+5. random leading silence (reference `load_voice_clip`'s zero_front,
    `/root/reference/src/generate_adaptive_dataset.py` U(4000,64000)@48 kHz),
    noise floor, peak normalization.
 
@@ -47,26 +55,38 @@ def _smooth(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int):
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 18)
     f32 = jnp.float32
 
+    # --- per-speaker draws (one per clip: talker identity) ---
+    f0_base = jax.random.uniform(ks[2], (), minval=95.0, maxval=240.0)
+    # vocal tract length tracks F0 (taller talkers: lower F0, lower formants);
+    # ~+-2 semitone independent spread on top of the correlation
+    vtl = (f0_base / 150.0) ** 0.25 * 2.0 ** jax.random.uniform(
+        ks[12], (), minval=-0.12, maxval=0.12)
+    f0_range = jax.random.uniform(ks[13], (), minval=0.5, maxval=1.5)
+    rate = jax.random.uniform(ks[14], (), minval=0.8, maxval=1.3)
+    breath = jax.random.uniform(ks[15], (), minval=0.02, maxval=0.09)
+
     # --- syllable plan ---
-    dur = jax.random.uniform(ks[0], (S,), minval=0.08, maxval=0.25)
+    dur = jax.random.uniform(ks[0], (S,), minval=0.08, maxval=0.25) * rate
     bounds = jnp.cumsum(dur)
     centers = bounds - dur / 2
     u = jax.random.uniform(ks[1], (S,))
     is_pause = u < 0.20
     is_unv = (u >= 0.20) & (u < 0.36)
+    is_plos = (u >= 0.36) & (u < 0.52)   # stop-onset voiced syllable
     voiced_s = ((~is_pause) & (~is_unv)).astype(f32)
 
-    f0_base = jax.random.uniform(ks[2], (), minval=95.0, maxval=240.0)
-    f0_s = f0_base * 2.0 ** jax.random.uniform(
-        ks[3], (S,), minval=-0.3, maxval=0.2)
+    f0_s = f0_base * 2.0 ** (f0_range * jax.random.uniform(
+        ks[3], (S,), minval=-0.3, maxval=0.2))
     # pitch declination over the utterance (~ -2.5 semitones end to end)
     f0_s = f0_s * 2.0 ** (-0.2 * centers / (bounds[-1] + 1e-6))
-    F1_s = jax.random.uniform(ks[4], (S,), minval=300.0, maxval=850.0)
-    F2_s = jax.random.uniform(ks[5], (S,), minval=950.0, maxval=2400.0)
-    F3_s = jax.random.uniform(ks[6], (S,), minval=2350.0, maxval=3100.0)
+    F1_s = vtl * jax.random.uniform(ks[4], (S,), minval=300.0, maxval=850.0)
+    F2_s = vtl * jax.random.uniform(ks[5], (S,), minval=950.0, maxval=2400.0)
+    F3_s = vtl * jax.random.uniform(ks[6], (S,), minval=2350.0, maxval=3100.0)
+    # per-unvoiced-syllable fricative center (log-uniform 2.5-7 kHz: /sh/../s/)
+    fric_s = 2500.0 * 2.0 ** jax.random.uniform(ks[16], (S,), maxval=1.5)
     amp_s = jax.random.uniform(ks[7], (S,), minval=0.55, maxval=1.0) \
         * (1.0 - is_pause.astype(f32))
 
@@ -80,6 +100,15 @@ def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int):
     idx = jnp.clip(jnp.searchsorted(bounds, ft), 0, S - 1)
     amp_f = _smooth(amp_s[idx], 9)          # ~45 ms raised-cosine on/offsets
     voiced_f = _smooth(voiced_s[idx], 9)
+    fric_f = _smooth(fric_s[idx], 5)        # per-syllable fricative center
+
+    # plosive bursts: decaying broadband transient at stop-syllable onsets
+    # (frame-rate envelope — 5 ms resolution is enough for a 12 ms decay)
+    onset_t = bounds - dur                             # [S] syllable starts
+    dt = ft[None, :] - onset_t[:, None]                # [S, nf]
+    gain_s = is_plos.astype(f32) * (0.35 + 0.65 * amp_s)
+    burst_f = jnp.sum(gain_s[:, None] * jnp.exp(-dt / 0.012)
+                      * (dt >= 0.0), axis=0)
 
     # --- sample-rate excitation ---
     st = jnp.arange(n, dtype=f32) / sr
@@ -94,8 +123,10 @@ def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int):
     pulse = (jnp.diff(fr, prepend=jnp.zeros((1,), f32)) < 0).astype(f32) \
         * jnp.sqrt(sr / jnp.maximum(f0_n, 1.0))
     noise = jax.random.normal(ks[9], (n,))
+    burst_n = jnp.interp(st, ft, burst_f)
     exc = pulse * voiced_n * amp_n \
-        + noise * amp_n * (0.35 * (1.0 - voiced_n) + 0.04 * voiced_n)
+        + noise * amp_n * (0.35 * (1.0 - voiced_n) + breath * voiced_n) \
+        + jax.random.normal(ks[17], (n,)) * burst_n * 0.8
 
     # --- frame-wise formant filtering (sqrt-Hann analysis+synthesis OLA) ---
     w = jnp.asarray(np.hanning(win + 1)[:-1].astype(np.float32) ** 0.5)
@@ -112,9 +143,16 @@ def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int):
     tilt = (1.0 + jnp.square(freqs / 700.0)) ** -0.9
     Hv = (1.0 * reso(F1_f, 80.0) + 0.5 * reso(F2_f, 120.0)
           + 0.3 * reso(F3_f, 180.0) + 0.005) * tilt[None]
-    # fricative band 2-8 kHz (gentle roll-off past 8 kHz)
-    Huv = 0.25 * (jnp.square(freqs / 3000.0)
-                  / (1.0 + jnp.square(freqs / 3000.0) ** 2))[None] + 0.004
+    # per-syllable fricative resonance (center fric_f in 2.5-7 kHz, broad
+    # skirt) with a high-pass character below the center — /s/ vs /sh/
+    # spectra alternate across unvoiced syllables
+    fbw = 0.35 * fric_f
+    hp = jnp.square(freqs[None] / fric_f[:, None]) \
+        / (1.0 + jnp.square(freqs[None] / fric_f[:, None]))
+    roll = 1.0 / (1.0 + jnp.square(freqs / 8000.0))[None]   # knee past 8 kHz
+    Huv = 0.28 * hp * roll * (fbw[:, None] ** 2 / (
+        jnp.square(freqs[None] - fric_f[:, None]) + fbw[:, None] ** 2)
+        + 0.30 * hp) + 0.004
     H = voiced_f[:, None] * Hv + (1.0 - voiced_f[:, None]) * Huv
     y = overlap_add(jnp.fft.irfft(spec * H, n=win) * w, hop)[:n] / 1.5
 

@@ -68,6 +68,34 @@ def test_leading_silence(batch):
     assert np.abs(batch[:, :lead]).max() < 0.02
 
 
+def test_per_speaker_spectral_diversity(batch):
+    """Round-4 per-speaker draws (vocal-tract length, F0 range, rate,
+    breathiness) should spread the long-term spectral centroid across clips —
+    talker variability, not just utterance variability."""
+    fr = np.fft.rfftfreq(N, 1 / SR)
+    cents = []
+    for y in batch:
+        S = np.abs(np.fft.rfft(y)) ** 2
+        cents.append((S * fr).sum() / S.sum())
+    assert np.std(cents) > 80, cents
+
+
+def test_plosive_transients(batch):
+    """Round-4 stop bursts: clips should contain abrupt high-band (>2 kHz)
+    energy onsets — a >6x jump in 2-8 kHz band energy within 10 ms, which
+    smooth formant trajectories alone never produce."""
+    from scipy.signal import butter, sosfilt
+    sos = butter(4, [2000, 8000], "bandpass", fs=SR, output="sos")
+    n_onsets = 0
+    for y in batch:
+        hb = sosfilt(sos, y)
+        env = (hb ** 2).reshape(-1, SR // 100).mean(1)     # 10 ms frames
+        prev = np.maximum(env[:-1], 1e-8 * env.max())
+        n_onsets += int(((env[1:] / prev > 6.0)
+                         & (env[1:] > 0.05 * env.max())).sum())
+    assert n_onsets >= len(batch), n_onsets   # >=1 burst per clip on average
+
+
 def test_numpy_wrapper_matches_api(rng):
     y = formant_speechlike(rng, 12000, SR)
     assert y.shape == (12000,)

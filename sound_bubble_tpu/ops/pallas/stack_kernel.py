@@ -134,10 +134,14 @@ def pack_attn_params(cfg, params):
 
     Layouts mirror `AttnProj`/`GridNetBlock` (models/tfgridnet/model.py:320-423,
     reference `tfgridnet_causal.py:643-744`): per-proj Linear kernel [D, L*e],
-    PReLU alpha [1], per-head LayerNorm affine [2, F*e] (scale/bias shared
-    across heads), plus the output Linear/PReLU/LN over F*C.
+    PReLU alpha [1], per-head LayerNorm affine reshaped row-major to
+    [2, F, e] (scale/bias shared across heads — 2-D so `_ln2d` applies it
+    without an in-kernel reshape), plus the output Linear/PReLU/LN over F*C
+    packed as [2, F, C].
     """
     B = cfg.B
+    F = cfg.n_freqs
+    vd = cfg.D // cfg.L
 
     def gather(name, *path):
         out = []
@@ -149,7 +153,7 @@ def pack_attn_params(cfg, params):
         return jnp.asarray(np.stack(out))
 
     packed = {}
-    for tag in ("q", "k", "v"):
+    for tag, width in (("q", cfg.E), ("k", cfg.E), ("v", vd)):
         nm = f"attn_{tag}"
         packed[f"{tag}_w"] = gather(nm, "proj", "kernel")
         packed[f"{tag}_b"] = gather(nm, "proj", "bias")
@@ -157,7 +161,8 @@ def pack_attn_params(cfg, params):
             [np.asarray(params[f"block{i}"][nm]["act"]["alpha"],
                         np.float32).reshape(1) for i in range(B)]))
         packed[f"{tag}_ln"] = jnp.stack(
-            [gather(nm, "norm", "scale"), gather(nm, "norm", "bias")], axis=1)
+            [gather(nm, "norm", "scale"), gather(nm, "norm", "bias")],
+            axis=1).reshape(B, 2, F, width)
     packed["o_w"] = gather("attn_out_proj", "kernel")
     packed["o_b"] = gather("attn_out_proj", "bias")
     packed["o_a"] = jnp.asarray(np.stack(
@@ -165,7 +170,7 @@ def pack_attn_params(cfg, params):
                     np.float32).reshape(1) for i in range(B)]))
     packed["o_ln"] = jnp.stack(
         [gather("attn_out_norm", "scale"), gather("attn_out_norm", "bias")],
-        axis=1)
+        axis=1).reshape(B, 2, F, cfg.D)
     return packed
 
 
@@ -260,17 +265,35 @@ def _prelu_k(z, alpha):
     return jnp.maximum(z, 0.0) + alpha * jnp.minimum(z, 0.0)
 
 
+def _ln2d(x, s, b, eps):
+    """LayerNorm whose statistics span the WHOLE 2-D slab (the model's LN
+    over a flattened [1, F*e] row), computed without any reshape: Mosaic
+    rejects sublane<->lane shape casts like [145,2]->[1,290] (probed on
+    v5e), but scalar full-reduces + a 2-D affine lower fine. `s`/`b` are the
+    flat affine params reshaped host-side to x's [F, e] layout."""
+    mu = jnp.mean(x)
+    var = jnp.mean(jnp.square(x - mu))
+    return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
 def _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads, e_dim):
     """Local causal attention for one block at streaming T=1, with the K/V
     rings resident in VMEM (`aref` = dict of packed attention operand refs;
-    kring/vring: [B, L, W, F*e] / [B, L, W, F*vd] aliased in->out).
+    kring/vring: [B, L*e, W, F] / [B, L*vd, W, F] aliased in->out).
 
     Identical math to GridNetBlock's attn section
     (models/tfgridnet/model.py:407-423, reference `tfgridnet_causal.py:643-744`)
-    exploiting that softmax attention without intra-window positions is
-    permutation-invariant over the W slots: the ring is written in place at
-    `pos` (no shift copies) and attended in storage order. Warmup zero slots
-    are attended exactly like the model's zero-initialized K_buf/V_buf.
+    exploiting two invariances so every op is Mosaic-lowerable (no
+    sublane<->lane reshapes, verified by device probes):
+      * softmax attention without intra-window positions is permutation-
+        invariant over the W slots — the ring is written in place at `pos`
+        (no shift copies) and attended in storage order; warmup zero slots
+        are attended exactly like the model's zero-initialized K_buf/V_buf.
+      * the q.k inner product over the flattened F*e axis is order-
+        invariant — K/V are stored as per-(head, channel) COLUMN PLANES
+        [W, F] instead of flat [W, F*e] rows, so ring writes are [F,1]->[1,F]
+        transposes and scores/values are plain 2-D dots accumulated over the
+        e (resp. vd) channel planes.
     """
     import math as _math
 
@@ -290,34 +313,41 @@ def _attn_step(b, x, pos, aref, kring_ref, vring_ref, f_len, heads, e_dim):
     zv = _prelu_k(jnp.dot(x, aref["v_w"][b],
                           preferred_element_type=jnp.float32) + aref["v_b"][b],
                   aref["v_a"][b][0])
+    W = kring_ref.shape[2]
     outs = []
     for h in range(heads):
-        # per-head flatten [F, e] -> [1, F*e] (row-major = AttnProj's
-        # transpose+reshape), then the shared-across-heads LayerNorm
-        qh = _ln(zq[:, h * e_dim:(h + 1) * e_dim].reshape(1, F * e_dim),
-                 aref["q_ln"][b, 0], aref["q_ln"][b, 1], eps)
-        kh = _ln(zk[:, h * e_dim:(h + 1) * e_dim].reshape(1, F * e_dim),
-                 aref["k_ln"][b, 0], aref["k_ln"][b, 1], eps)
-        vh = _ln(zv[:, h * vd:(h + 1) * vd].reshape(1, F * vd),
-                 aref["v_ln"][b, 0], aref["v_ln"][b, 1], eps)
-        kring_ref[b, h, pl.dslice(pos, 1)] = kh
-        vring_ref[b, h, pl.dslice(pos, 1)] = vh
-        kr = kring_ref[b, h]                       # [W, F*e] incl. current
-        vr = vring_ref[b, h]                       # [W, F*vd]
-        # all dots stay 2-D (Mosaic rejects 1-D matvec operands): contract
-        # the F*e axis of [1, F*e] x [W, F*e] -> [1, W]
+        # per-head LN over the full [F, e] slab (== the model's LN over the
+        # flattened [1, F*e] row); affine packed 2-D by pack_attn_params
+        qh = _ln2d(zq[:, h * e_dim:(h + 1) * e_dim],
+                   aref["q_ln"][b, 0], aref["q_ln"][b, 1], eps)   # [F, e]
+        kh = _ln2d(zk[:, h * e_dim:(h + 1) * e_dim],
+                   aref["k_ln"][b, 0], aref["k_ln"][b, 1], eps)
+        vh = _ln2d(zv[:, h * vd:(h + 1) * vd],
+                   aref["v_ln"][b, 0], aref["v_ln"][b, 1], eps)   # [F, vd]
+        for j in range(e_dim):
+            kring_ref[b, h * e_dim + j, pl.dslice(pos, 1)] = kh[:, j:j + 1].T
+        for j in range(vd):
+            vring_ref[b, h * vd + j, pl.dslice(pos, 1)] = vh[:, j:j + 1].T
+        # scores: sum the per-plane [1, F] x [W, F] -> [1, W] contractions
         scores = jax.lax.dot_general(
-            qh, kr, (((1,), (1,)), ((), ())),
+            qh[:, 0:1].T, kring_ref[b, h * e_dim], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores * scale, axis=-1)
-        oh = jnp.dot(probs, vr, preferred_element_type=jnp.float32)
-        outs.append(oh.reshape(F, vd))
+        for j in range(1, e_dim):
+            scores = scores + jax.lax.dot_general(
+                qh[:, j:j + 1].T, kring_ref[b, h * e_dim + j],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores * scale, axis=-1)           # [1, W]
+        rows = jnp.concatenate(
+            [jnp.dot(probs, vring_ref[b, h * vd + j],
+                     preferred_element_type=jnp.float32)
+             for j in range(vd)], axis=0)                         # [vd, F]
+        outs.append(rows.T)                                       # [F, vd]
     o = jnp.concatenate(outs, axis=-1)             # [F, C] head-minor
     o = jnp.dot(o, aref["o_w"][b],
                 preferred_element_type=jnp.float32) + aref["o_b"][b]
     o = _prelu_k(o, aref["o_a"][b][0])
-    o = _ln(o.reshape(1, F * C), aref["o_ln"][b, 0], aref["o_ln"][b, 1],
-            eps).reshape(F, C)
+    o = _ln2d(o, aref["o_ln"][b, 0], aref["o_ln"][b, 1], eps)     # [F, C]
     return x + o
 
 
@@ -569,24 +599,24 @@ def attn_ring_bytes(cfg, f_len: int) -> int:
 
 
 def gridnet_stack_step_attn(packed, packed_attn, x, h0, c0, k_ring, v_ring,
-                            pos, film_w=None, film_b=None, eps: float = 1e-5,
-                            interpret: bool = False):
+                            pos, heads, film_w=None, film_b=None,
+                            eps: float = 1e-5, interpret: bool = False):
     """One streaming step of the full block stack INCLUDING local attention,
-    K/V rings resident in VMEM (use_attn=True, conv_lstm=False configs whose
-    rings fit — see `attn_ring_bytes`).
+    K/V rings resident in VMEM (use_attn=True configs whose rings fit — see
+    `attn_ring_bytes`).
 
-    x: [F, D]; h0/c0: [B, F, H]; k_ring/v_ring: [B, L, W, F*E] / [B, L, W,
-    F*vd] slot-major ring buffers; pos: [1] int32 current slot. Returns
-    (x_out, h0', c0', k_ring', v_ring') — the caller advances pos by
-    (pos + 1) % W and should donate the rings (they are aliased in->out).
+    x: [F, D]; h0/c0: [B, F, H]; k_ring/v_ring: [B, L*E, W, F] /
+    [B, L*vd, W, F] per-(head, channel) column-plane ring buffers (see
+    `_attn_step` for why this layout); pos: [1] int32 current slot; heads:
+    cfg.L. Returns (x_out, h0', c0', k_ring', v_ring') — the caller advances
+    pos by (pos + 1) % W and should donate the rings (aliased in->out).
     """
     from jax.experimental.pallas import tpu as pltpu
 
     n_blocks, _, hidden4 = packed["wih2"].shape
     hidden = hidden4 // 4
     f_len, d = x.shape
-    heads = k_ring.shape[1]
-    e_dim = k_ring.shape[3] // f_len
+    e_dim = k_ring.shape[1] // heads
     use_film = film_w is not None
     if not use_film:
         film_w = jnp.zeros((max(n_blocks - 1, 1), f_len, d), jnp.float32)

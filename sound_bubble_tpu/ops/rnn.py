@@ -65,8 +65,11 @@ _FUSED_SCAN = os.environ.get("SB_LSTM_FUSED", "1") == "1"
 _FUSED_CHUNK = int(os.environ.get("SB_LSTM_CHUNK", "6"))
 # backward-scan chunk; the bwd body is ~3x the fwd body (gate recompute +
 # 3 matmuls + 2 weight-grad einsums), so its unroll/VMEM-pressure optimum
-# can sit below the forward's. Defaults to the forward chunk.
-_FUSED_CHUNK_BWD = int(os.environ.get("SB_LSTM_CHUNK_BWD", "0")) or None
+# sits ABOVE the forward's once the h_prev stream is gone (lighter stacking
+# per frame). TPU v5e production-step sweep (2026-08-19, batch 8 bf16,
+# fwd chunk 6, runs/sweep_r4b.jsonl): bwd 6 150.8 ms, 8 149.7, 10 149.0,
+# 12 174.7 (VMEM spill cliff) — default 10. "0" falls back to the fwd chunk.
+_FUSED_CHUNK_BWD = int(os.environ.get("SB_LSTM_CHUNK_BWD", "10")) or None
 # direction-fused BLSTM scans: both directions of a bidirectional layer run
 # in ONE chunked scan (a leading direction axis on weights/activations turns
 # the per-step projections into single batched matmuls), halving the
@@ -352,12 +355,20 @@ lstm_cvjp.defvjp(_lstm_cvjp_fwd, _lstm_cvjp_bwd)
 # lstm()/lstm_cvjp (the hoisted x@W_ih+b is re-associated into the step, the
 # gate math is identical), but built to minimize the scan's HBM stacking
 # traffic, which dominates the train step on TPU:
-#   fwd:  reads x (C channels/step, not 4H gates), stacks y [bf16] plus the
-#         residual streams (h_prev [matmul dtype], c_prev [f32]);
+#   fwd:  reads x (C channels/step, not 4H gates), stacks y [bf16] plus ONE
+#         residual stream (c_prev [f32]). The h_prev residual is NOT stacked:
+#         h_prev[t] == ys[t-1] exactly (the gate-dtype h round-trips the f32
+#         carry and the x-dtype output losslessly whenever the gate dtype is
+#         bf16 — the default — or everything is f32), so the backward
+#         reconstructs it with one contiguous shift-concat instead of the
+#         forward paying a third per-step dynamic-update-slice stream;
 #   bwd:  reads (x, h_prev, c_prev, dy), recomputes the gates per step, and
 #         carries f32 (dW_ih, dW_hh, db) ACCUMULATORS through the scan —
 #         no [T, R, 4H] dgates stacking, the only stacked output is dx.
 # `reverse` also removes the two jnp.flip copies per BLSTM direction.
+# In the one lossy corner (mixed precision with SB_LSTM_BF16_GATES=0 and
+# bf16 activations: f32 gates but bf16 ys) the forward still stacks h_prev
+# explicitly so the reconstruction stays exact.
 
 
 def _fused_gate_fwd(x_t, h, c, w_ih, w_hh, b, hidden, mixed):
@@ -430,19 +441,42 @@ def _chunked_scan(step, carry, xs, reverse=False, k=1):
                        first, second)
 
 
+def _h_from_ys_exact(mixed):
+    """True when h_prev can be reconstructed exactly from the shifted ys
+    stream (see the block comment above): the gate-dtype h must survive the
+    x-dtype round trip, which holds unless the gates stayed f32 while the
+    activations are bf16."""
+    return not (mixed and not _BF16_GATES)
+
+
+def _shift_prev(ys, h0, reverse, mdt):
+    """h_prev stream from the stacked outputs: the state ENTERING step t is
+    the output of the previously-processed step (t-1 forward, t+1 reverse),
+    with h0 entering the first processed step."""
+    h0r = h0[None].astype(ys.dtype)
+    if reverse:
+        shifted = jnp.concatenate([ys[1:], h0r], axis=0)
+    else:
+        shifted = jnp.concatenate([h0r, ys[:-1]], axis=0)
+    return shifted.astype(mdt)
+
+
 def _lstm_fused_primal(reverse, w_ih, w_hh, b, x, h0, c0, residuals):
     hidden = w_hh.shape[0]
     mixed = w_hh.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16
+    save_h = residuals and not _h_from_ys_exact(mixed)
 
     def step(carry, x_t):
         h, c = carry
         *_, c_t, h_t = _fused_gate_fwd(x_t, h, c, w_ih, w_hh, b, hidden,
                                        mixed)
         h_t = h_t.astype(h.dtype)
-        if residuals:
-            # stream out the state ENTERING this step (h in the recurrence-
-            # matmul dtype — exact: a bf16 h round-trips the f32 carry)
+        if save_h:
+            # corner case: stream out the state ENTERING this step (h in
+            # the recurrence-matmul dtype — exact via the f32 carry)
             return (h_t, c_t), (h_t.astype(x.dtype), h.astype(w_hh.dtype), c)
+        if residuals:
+            return (h_t, c_t), (h_t.astype(x.dtype), c)
         return (h_t, c_t), h_t.astype(x.dtype)
 
     (hT, cT), ys = _chunked_scan(step, (h0, c0), x, reverse=reverse,
@@ -462,16 +496,25 @@ def lstm_fused(reverse, w_ih, w_hh, b, x, h0, c0):
 
 
 def _lstm_fused_fwd(reverse, w_ih, w_hh, b, x, h0, c0):
-    (hT, cT), (ys, h_prev, c_prev) = _lstm_fused_primal(
+    (hT, cT), res = _lstm_fused_primal(
         reverse, w_ih, w_hh, b, x, h0, c0, residuals=True)
-    return (ys, hT, cT), (w_ih, w_hh, b, x, h0, c0, h_prev, c_prev)
+    if len(res) == 3:                     # corner case: explicit h_prev
+        ys, h_src, c_prev = res
+    else:                                 # default: ys doubles as h source
+        ys, c_prev = res
+        h_src = ys
+    return (ys, hT, cT), (w_ih, w_hh, b, x, h0, c0, h_src, c_prev)
 
 
 def _lstm_fused_bwd(reverse, res, cts):
-    w_ih, w_hh, b, x, h0, c0, h_prev, c_prev = res
+    w_ih, w_hh, b, x, h0, c0, h_src, c_prev = res
     dy, dhT, dcT = cts
     hidden = w_hh.shape[0]
     mixed = w_hh.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16
+    if _h_from_ys_exact(mixed):
+        h_prev = _shift_prev(h_src, h0, reverse, w_hh.dtype)
+    else:
+        h_prev = h_src
     f32 = jnp.float32
     gdt = jnp.bfloat16 if (mixed and _BF16_GATES) else x.dtype
     mdt = w_hh.dtype                       # recurrence-matmul dtype
@@ -541,13 +584,17 @@ def _blstm_dir_primal(w_ih, w_hh, b, xx, residuals):
     cdt = jnp.float32 if mixed else xx.dtype
     z0 = jnp.zeros(xx.shape[1:-1] + (hidden,), cdt)     # [2, R, H]
 
+    save_h = residuals and not _h_from_ys_exact(mixed)
+
     def step(carry, x_t):
         h, c = carry
         *_, c_t, h_t = _fused_gate_fwd(x_t, h, c, w_ih, w_hh, b2, hidden,
                                        mixed)
         h_t = h_t.astype(h.dtype)
-        if residuals:
+        if save_h:
             return (h_t, c_t), (h_t.astype(xx.dtype), h.astype(w_hh.dtype), c)
+        if residuals:
+            return (h_t, c_t), (h_t.astype(xx.dtype), c)
         return (h_t, c_t), h_t.astype(xx.dtype)
 
     _, ys = _chunked_scan(step, (z0, z0), xx, k=_FUSED_CHUNK)
@@ -562,14 +609,25 @@ def blstm_fused_dir(w_ih, w_hh, b, xx):
 
 
 def _blstm_dir_fwd(w_ih, w_hh, b, xx):
-    ys, h_prev, c_prev = _blstm_dir_primal(w_ih, w_hh, b, xx, residuals=True)
-    return ys, (w_ih, w_hh, b, xx, h_prev, c_prev)
+    res = _blstm_dir_primal(w_ih, w_hh, b, xx, residuals=True)
+    if len(res) == 3:                     # corner case: explicit h_prev
+        ys, h_src, c_prev = res
+    else:                                 # default: ys doubles as h source
+        ys, c_prev = res
+        h_src = ys
+    return ys, (w_ih, w_hh, b, xx, h_src, c_prev)
 
 
 def _blstm_dir_bwd(res, dy):
-    w_ih, w_hh, b, xx, h_prev, c_prev = res
+    w_ih, w_hh, b, xx, h_src, c_prev = res
     hidden = w_hh.shape[-2]
     mixed = w_hh.dtype == jnp.bfloat16 or xx.dtype == jnp.bfloat16
+    if _h_from_ys_exact(mixed):
+        # both directions scan forward over pre-mirrored input, zero init
+        z0 = jnp.zeros(xx.shape[1:-1] + (hidden,), h_src.dtype)
+        h_prev = _shift_prev(h_src, z0, False, w_hh.dtype)
+    else:
+        h_prev = h_src
     f32 = jnp.float32
     gdt = jnp.bfloat16 if (mixed and _BF16_GATES) else xx.dtype
     mdt = w_hh.dtype

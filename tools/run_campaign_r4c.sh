@@ -41,7 +41,7 @@ python tools/stall_watchdog.py --log runs/pretrain_r4c/metrics.jsonl \
     --stale-min 6 --grace-min 45 \
     -- python src/train_stream.py --run_dir runs/pretrain_r4c \
        --config runs/_cfg_pretrain_r4c.json --steps "$STEPS_PRETRAIN" \
-       --pool 4000 --val_pool 180 --batch "${SB_BATCH:-8}" \
+       --pool 4000 --val_pool 180 --batch "${SB_BATCH:-8}" --pool_bf16 \
        --clip_seconds 2.5 --voice mix --bg_noise 0.5 --seed 46 \
        --plateau_patience 12 --pool_cache runs/pool_cache --resume \
     >> runs/pretrain_r4c.log 2>&1
@@ -54,7 +54,7 @@ python tools/stall_watchdog.py --log runs/finetune_r4c/metrics.jsonl \
     --stale-min 6 --grace-min 45 \
     -- python src/train_stream.py --run_dir runs/finetune_r4c \
        --config runs/_cfg_finetune_r4c.json --steps "$STEPS_FINETUNE" \
-       --pool 4000 --val_pool 180 --batch "${SB_BATCH:-8}" \
+       --pool 4000 --val_pool 180 --batch "${SB_BATCH:-8}" --pool_bf16 \
        --clip_seconds 2.5 --voice mix --bg_noise 0.5 --seed 47 \
        --plateau_patience 12 --pool_cache runs/pool_cache --resume \
     >> runs/finetune_r4c.log 2>&1

@@ -39,6 +39,10 @@ def main() -> int:
     ap.add_argument("--stale-min", type=float, default=6.0)
     ap.add_argument("--poll-sec", type=float, default=30.0)
     ap.add_argument("--max-relaunches", type=int, default=20)
+    ap.add_argument("--max-crashloops", type=int, default=3,
+                    help="abort after this many CONSECUTIVE nonzero exits "
+                         "(a deterministic failure, e.g. a compile OOM, "
+                         "won't fix itself — stall kills don't count)")
     ap.add_argument("--grace-min", type=float, default=20.0,
                     help="startup grace before the first staleness check "
                          "(pool build + cold compile can take >10 min)")
@@ -50,6 +54,7 @@ def main() -> int:
         ap.error("no command given (pass it after --)")
 
     relaunches = 0
+    crashloops = 0
     while True:
         start = time.time()
         # new process group so a stalled child's threads die with it
@@ -76,6 +81,15 @@ def main() -> int:
         if not stalled and rc == 0:
             print("[watchdog] child finished cleanly", flush=True)
             return 0
+        if stalled:
+            crashloops = 0   # tunnel stall: relaunching genuinely helps
+        else:
+            crashloops += 1
+            if crashloops >= args.max_crashloops:
+                print(f"[watchdog] {crashloops} consecutive crashes "
+                      f"(last rc={rc}) — deterministic failure, aborting",
+                      flush=True)
+                return rc if isinstance(rc, int) and rc else 1
         relaunches += 1
         if relaunches > args.max_relaunches:
             print(f"[watchdog] giving up after {relaunches} relaunches "

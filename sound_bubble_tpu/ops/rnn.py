@@ -76,6 +76,13 @@ _FUSED_CHUNK_BWD = int(os.environ.get("SB_LSTM_CHUNK_BWD", "10")) or None
 # while-iteration count of every intra-frequency BLSTM vs the two-scan
 # fused path. Opt-in until TPU-benched (sweep via tools/train_sweep.py).
 _DIR_FUSE = os.environ.get("SB_BLSTM_DIRFUSE", "0") == "1"
+# slab-grid Pallas training scans (ops/pallas/lstm_train_slab.py): the
+# fused-scan math with the XLA while-loop replaced by a Pallas grid — carry,
+# cotangents AND weight-grad accumulators live in VMEM across the whole
+# sequence, the backward's gate recompute batches K frames into two MXU
+# matmuls, and c is checkpointed once per K-frame slab instead of stacked
+# per frame. Opt-in until TPU-benched (tools/train_sweep.py --slab).
+_SLAB = os.environ.get("SB_LSTM_SLAB", "0") == "1"
 
 
 def set_custom_vjp(flag: bool):
@@ -99,6 +106,11 @@ def set_fused_scan(flag: bool):
 def set_dir_fuse(flag: bool):
     global _DIR_FUSE
     _DIR_FUSE = flag
+
+
+def set_slab(flag: bool):
+    global _SLAB
+    _SLAB = flag
 
 
 def _cvjp_impl():
@@ -683,9 +695,17 @@ def _run_fused(params, x, h0, c0, reverse):
     lead = x.shape[:-2]
     r = math.prod(lead)
     x_t = jnp.moveaxis(x, -2, 0).reshape(t, r, x.shape[-1])
-    ys, hT, cT = lstm_fused(reverse, params["w_ih"], params["w_hh"],
-                            params["b"], x_t,
-                            h0.reshape(r, -1), c0.reshape(r, -1))
+    mixed = (params["w_hh"].dtype == jnp.bfloat16
+             or x.dtype == jnp.bfloat16)
+    if _SLAB and t >= 2 and _h_from_ys_exact(mixed):
+        from sound_bubble_tpu.ops.pallas.lstm_train_slab import lstm_slab
+        ys, hT, cT = lstm_slab(reverse, params["w_ih"], params["w_hh"],
+                               params["b"], x_t,
+                               h0.reshape(r, -1), c0.reshape(r, -1))
+    else:
+        ys, hT, cT = lstm_fused(reverse, params["w_ih"], params["w_hh"],
+                                params["b"], x_t,
+                                h0.reshape(r, -1), c0.reshape(r, -1))
     y = jnp.moveaxis(ys.reshape((t,) + lead + (-1,)), 0, -2)
     return y, hT.reshape(lead + (-1,)), cT.reshape(lead + (-1,))
 

@@ -23,7 +23,7 @@ import numpy as np
 
 
 def time_train_step(batch, chunk, seconds=2.5, steps=6, dirfuse=False,
-                    chunk_bwd=0):
+                    chunk_bwd=0, slab=False, slab_k=0, slab_rows=0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -36,8 +36,14 @@ def time_train_step(batch, chunk, seconds=2.5, steps=6, dirfuse=False,
 
     rnn.set_fused_scan(True)
     rnn.set_dir_fuse(dirfuse)
+    rnn.set_slab(slab)
     rnn._FUSED_CHUNK = chunk
     rnn._FUSED_CHUNK_BWD = chunk_bwd or None
+    if slab:
+        from sound_bubble_tpu.ops.pallas import lstm_train_slab
+        if slab_k:
+            lstm_train_slab._K = slab_k
+        lstm_train_slab._ROW_TILE = slab_rows
 
     net = make_net({**PROD_MODEL, "compute_dtype": "bf16"})
     n = int(seconds * 24000)
@@ -112,6 +118,13 @@ def main():
                     help="comma list of 0/1: sweep SB_BLSTM_DIRFUSE")
     ap.add_argument("--chunks_bwd", default="0",
                     help="comma list; 0 = same as forward chunk")
+    ap.add_argument("--slab", action="store_true",
+                    help="route the LSTM scans through the slab-grid "
+                         "Pallas kernels (SB_LSTM_SLAB)")
+    ap.add_argument("--slab_ks", default="8",
+                    help="comma list of slab frame counts (SB_SLAB_K)")
+    ap.add_argument("--slab_rows", type=int, default=0,
+                    help="slab row-tile override (0 = auto)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -128,15 +141,21 @@ def main():
         for k in [int(v) for v in args.chunks.split(",")]:
           for kb in [int(v) for v in args.chunks_bwd.split(",")]:
             for df in [v == "1" for v in args.dirfuse.split(",")]:
+              for sk in [int(v) for v in args.slab_ks.split(",")]:
                 ms = time_train_step(b, k, seconds=args.seconds,
                                      steps=args.steps, dirfuse=df,
-                                     chunk_bwd=kb)
+                                     chunk_bwd=kb, slab=args.slab,
+                                     slab_k=sk, slab_rows=args.slab_rows)
                 ingest = b * args.seconds / (ms / 1e3)
-                print(json.dumps({"what": "train", "batch": b, "chunk": k,
-                                  "chunk_bwd": kb or k, "dirfuse": df,
-                                  "ms": round(ms, 1),
-                                  "ingest_x_rt": round(ingest, 1)}),
-                      flush=True)
+                rec = {"what": "train", "batch": b, "chunk": k,
+                       "chunk_bwd": kb or k, "dirfuse": df,
+                       "ms": round(ms, 1), "ingest_x_rt": round(ingest, 1)}
+                if args.slab:
+                    rec.update(slab=True, slab_k=sk,
+                               slab_rows=args.slab_rows)
+                print(json.dumps(rec), flush=True)
+                if not args.slab:
+                    break
 
 
 if __name__ == "__main__":

@@ -49,10 +49,35 @@ import jax.numpy as jnp
 
 _K = int(os.environ.get("SB_SLAB_K", "8"))        # frames per grid step
 _ROW_TILE = int(os.environ.get("SB_SLAB_ROWS", "0"))  # 0 = auto
+# Mosaic's default scoped-VMEM budget is ~16 MB — v5e has 128 MB/core. The
+# backward's batched f32 gate temporaries ([K*rt, 4H]) overflow the default
+# at production row counts (measured +0.9 MB at rt=640, K=8, H=64), so both
+# kernels request a larger budget explicitly.
+_VMEM_MB = int(os.environ.get("SB_SLAB_VMEM_MB", "96"))
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_MB * 1024 * 1024)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _sig(v):
+    """sigmoid with XLA's bf16 semantics (upcast -> f32 op -> round), made
+    explicit: Mosaic cannot lower `logistic` directly on bf16 vectors (the
+    f32 splat constants inside fail element-type verification)."""
+    if v.dtype == jnp.float32:
+        return jax.nn.sigmoid(v)
+    return jax.nn.sigmoid(v.astype(jnp.float32)).astype(v.dtype)
+
+
+def _tanh(v):
+    if v.dtype == jnp.float32:
+        return jnp.tanh(v)
+    return jnp.tanh(v.astype(jnp.float32)).astype(v.dtype)
 
 
 def _row_tile(r: int) -> int:
@@ -104,12 +129,12 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, h0_ref, c0_ref,
         else:
             gates = gx[k] + jnp.dot(h_s[:], whh_ref[:],
                                     preferred_element_type=f32)
-        i = jax.nn.sigmoid(gates[:, :hidden])
-        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        i = _sig(gates[:, :hidden])
+        f = _sig(gates[:, hidden:2 * hidden])
+        g = _tanh(gates[:, 2 * hidden:3 * hidden])
+        o = _sig(gates[:, 3 * hidden:])
         c_t = (f.astype(f32) * c_s[:]) + (i * g).astype(f32)
-        h_t = o * jnp.tanh(c_t.astype(gates.dtype))
+        h_t = o * _tanh(c_t.astype(gates.dtype))
         y_ref[k] = h_t.astype(y_ref.dtype)
         # padded frames (t_abs >= T) pass the carry through unchanged
         h_s[:] = jnp.where(valid, h_t.astype(f32), h_s[:])
@@ -192,6 +217,7 @@ def lstm_slab_fwd(w_ih, w_hh, b, x, h0, c0, reverse, *, interpret=None):
         ),
         scratch_shapes=[pltpu.VMEM((rt, hidden), f32),
                         pltpu.VMEM((rt, hidden), f32)],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x, w_ih, w_hh, b2, h0, c0)
     return ys[:t_len, :r], hT[:r], cT[:r], c_ckpt[:, :r]
@@ -253,9 +279,9 @@ def _bwd_kernel(x_ref, hp_ref, ck_ref, dy_ref, wih_ref, whh_ref, b_ref,
         t_abs = blk * k_frames + k
         valid = t_abs < t_len
         gk = gates_all[k]
-        i = jax.nn.sigmoid(gk[:, :hidden])
-        f = jax.nn.sigmoid(gk[:, hidden:2 * hidden])
-        g = jnp.tanh(gk[:, 2 * hidden:3 * hidden])
+        i = _sig(gk[:, :hidden])
+        f = _sig(gk[:, hidden:2 * hidden])
+        g = _tanh(gk[:, 2 * hidden:3 * hidden])
         # c_prev for this frame is the running carry — stash it (the
         # f-gate gradient needs it); gates stash in g_s (phase B overwrites
         # each frame's slot with its dgates once consumed)
@@ -271,13 +297,13 @@ def _bwd_kernel(x_ref, hp_ref, ck_ref, dy_ref, wih_ref, whh_ref, b_ref,
         t_abs = blk * k_frames + k
         valid = t_abs < t_len
         gk = g_s[k]
-        i = jax.nn.sigmoid(gk[:, :hidden]).astype(f32)
-        f = jax.nn.sigmoid(gk[:, hidden:2 * hidden]).astype(f32)
-        g = jnp.tanh(gk[:, 2 * hidden:3 * hidden]).astype(f32)
-        o = jax.nn.sigmoid(gk[:, 3 * hidden:]).astype(f32)
+        i = _sig(gk[:, :hidden]).astype(f32)
+        f = _sig(gk[:, hidden:2 * hidden]).astype(f32)
+        g = _tanh(gk[:, 2 * hidden:3 * hidden]).astype(f32)
+        o = _sig(gk[:, 3 * hidden:]).astype(f32)
         cp = c_s[k]
         c_t = (f * cp) + i * g
-        tc = jnp.tanh(c_t.astype(gdt)).astype(f32)
+        tc = _tanh(c_t.astype(gdt)).astype(f32)
         dh = dy_ref[k].astype(f32) + dh_s[:]
         do = dh * tc
         dc = dc_s[:] + dh * o * (1.0 - tc * tc)
@@ -409,6 +435,7 @@ def lstm_slab_bwd(w_ih, w_hh, b, x, hp, c_ckpt, dy, dhT, dcT, reverse,
             pltpu.VMEM((k_frames, rt, 4 * hidden), gdt),      # gates/dgates
             pltpu.VMEM((k_frames, rt, hidden), f32),          # c_prev
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x, hp, c_ckpt, dy, w_ih, w_hh, b2, w_hh.T, w_ih.T, dhT, dcT)
     dx, dwih, dwhh, db, dh0, dc0 = out

@@ -106,10 +106,15 @@ def test_slab_grads_match_autodiff_mixed(rng):
                                        p["b"], x, h0, c0, residuals=False)
         return jnp.sum(ys.astype(jnp.float32) * wy)
 
-    # identical primal (the slab forward replicates _fused_gate_fwd's op
-    # order and f32 accumulation exactly)
+    # near-identical primal: the slab forward replicates _fused_gate_fwd's
+    # op order and f32 accumulation, but evaluates bf16 transcendentals as
+    # upcast->f32 op->round (slab._sig/_tanh — required for Mosaic, and what
+    # XLA itself does ON TPU), while CPU XLA's native-bf16 logistic rounds
+    # per expansion step. One bf16 ulp per gate; loss-sum cancellation can
+    # amplify it, hence a bf16-scale tolerance here (TPU-vs-TPU parity is
+    # pinned tighter by tools/slab_tpu_check.py on device).
     assert float(loss_cvjp(p)) == pytest.approx(float(loss_primal(p)),
-                                                rel=1e-6)
+                                                rel=1e-2)
     g = jax.grad(loss_cvjp)(p)
     ref = jax.grad(loss_primal)(p)
     # bf16-rounded grads: max-norm-relative criterion (test_rnn.py mixed

@@ -46,6 +46,12 @@ def main() -> int:
     ap.add_argument("--grace-min", type=float, default=20.0,
                     help="startup grace before the first staleness check "
                          "(pool build + cold compile can take >10 min)")
+    ap.add_argument("--deadline-min", type=float, default=0.0,
+                    help="wall-clock time box: past this, kill the child "
+                         "and exit 0 (a clean stage end — the wrapped "
+                         "trainer checkpoints every val, so a later "
+                         "--resume continues; lets a campaign guarantee "
+                         "its eval stages run inside a fixed budget)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- followed by the command to run")
     args = ap.parse_args()
@@ -55,6 +61,7 @@ def main() -> int:
 
     relaunches = 0
     crashloops = 0
+    t0 = time.time()
     while True:
         start = time.time()
         # new process group so a stalled child's threads die with it
@@ -68,6 +75,15 @@ def main() -> int:
                 break
             except subprocess.TimeoutExpired:
                 pass
+            if (args.deadline_min
+                    and time.time() - t0 > args.deadline_min * 60):
+                print(f"[watchdog] deadline {args.deadline_min:.0f} min "
+                      f"reached — stopping pid={child.pid} (stage ends "
+                      f"clean; resume continues from the last checkpoint)",
+                      flush=True)
+                os.killpg(child.pid, signal.SIGKILL)
+                child.wait()
+                return 0
             in_grace = time.time() - start < args.grace_min * 60
             if not in_grace and log_age(args.log) > args.stale_min * 60:
                 print(f"[watchdog] log stale "

@@ -81,8 +81,20 @@ _DIR_FUSE = os.environ.get("SB_BLSTM_DIRFUSE", "0") == "1"
 # cotangents AND weight-grad accumulators live in VMEM across the whole
 # sequence, the backward's gate recompute batches K frames into two MXU
 # matmuls, and c is checkpointed once per K-frame slab instead of stacked
-# per frame. Opt-in until TPU-benched (tools/train_sweep.py --slab).
-_SLAB = os.environ.get("SB_LSTM_SLAB", "0") == "1"
+# per frame. TPU v5e production-step sweep (2026-08-19,
+# runs/sweep_r4d_slab.jsonl, batch 8 bf16): slab K=8 128.7 ms (155x ingest)
+# vs 150.8 fused-scan best — measured-best, so the DEFAULT on TPU ("auto").
+# CPU keeps the fused scan (the slab kernels are Mosaic-compiled; interpret
+# mode is test-only). SB_LSTM_SLAB=1/0 forces either way.
+_SLAB_ENV = os.environ.get("SB_LSTM_SLAB", "auto")
+_SLAB = None if _SLAB_ENV == "auto" else _SLAB_ENV == "1"
+
+
+def _slab_on() -> bool:
+    global _SLAB
+    if _SLAB is None:
+        _SLAB = jax.default_backend() == "tpu"
+    return _SLAB
 
 
 def set_custom_vjp(flag: bool):
@@ -697,7 +709,7 @@ def _run_fused(params, x, h0, c0, reverse):
     x_t = jnp.moveaxis(x, -2, 0).reshape(t, r, x.shape[-1])
     mixed = (params["w_hh"].dtype == jnp.bfloat16
              or x.dtype == jnp.bfloat16)
-    if _SLAB and t >= 2 and _h_from_ys_exact(mixed):
+    if _slab_on() and t >= 2 and _h_from_ys_exact(mixed):
         from sound_bubble_tpu.ops.pallas.lstm_train_slab import lstm_slab
         ys, hT, cT = lstm_slab(reverse, params["w_ih"], params["w_hh"],
                                params["b"], x_t,

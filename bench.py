@@ -162,24 +162,32 @@ def _measure_train(net, cfg, batch=8, seconds=2.5, steps=8):
     # pallas 254.6 / fused+chunk6 157.2 ms — the chunked fused scan wins by
     # 1.6x (the step is while-iteration-count-bound, not FLOP-bound), and
     # each extra candidate costs a multi-minute cold compile over the tunnel.
-    # SB_BENCH_TRAIN_PATHS=autodiff,cvjp,pallas,fused re-enables the sweep.
+    # Round 4 added "slab" (slab-grid Pallas training scans, the library
+    # default on TPU: 128.7 ms vs 150.8 fused-scan best, see DESIGN.md's
+    # knob table) — bench defaults to it on TPU so the driver measures the
+    # path the trainers actually run.
+    # SB_BENCH_TRAIN_PATHS=autodiff,cvjp,pallas,fused,slab re-enables the
+    # sweep.
     import os
+    default_cand = "slab" if jax.default_backend() == "tpu" else "fused"
     cand = tuple(os.environ.get("SB_BENCH_TRAIN_PATHS",
-                                "fused").split(","))
-    saved = (rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN, rnn._FUSED_SCAN)
+                                default_cand).split(","))
+    saved = (rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN, rnn._FUSED_SCAN, rnn._SLAB)
     results = {}
     try:
         for tag in cand:
             rnn.set_custom_vjp(tag in ("cvjp", "pallas"))
             rnn.set_pallas_train(tag == "pallas")
-            rnn.set_fused_scan(tag == "fused")
+            rnn.set_fused_scan(tag in ("fused", "slab"))
+            rnn.set_slab(tag == "slab")
             try:
                 results[tag] = time_step()
             except Exception as e:
                 print(f"# train candidate {tag} unavailable: {str(e)[:90]}",
                       flush=True)
     finally:
-        rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN, rnn._FUSED_SCAN = saved
+        (rnn._CUSTOM_VJP, rnn._PALLAS_TRAIN, rnn._FUSED_SCAN,
+         rnn._SLAB) = saved
     tag, ms = min(results.items(), key=lambda kv: kv[1])
     print("# train candidates (ms/step): "
           + ", ".join(f"{k}={v:.1f}" for k, v in results.items()), flush=True)
@@ -206,6 +214,13 @@ def main():
 
     net = make_net(PROD_MODEL)
     cfg = net.cfg
+    # Serving measurements stay on the swept XLA streaming path: the slab
+    # kernels (TPU training default, see _measure_train) also sit on the
+    # F-axis BLSTM of the non-fused streaming forward, but have only been
+    # swept/validated at training shapes — pin them off here so the
+    # headline serving numbers ride the path they were measured on.
+    import sound_bubble_tpu.ops.rnn as _rnn
+    _rnn.set_slab(False)
     single_ms = _measure(net, cfg, batch=1)
     fused_ms = _measure_fused(net, cfg)
     if fused_ms is not None and fused_ms < single_ms:

@@ -93,7 +93,12 @@ _SLAB = None if _SLAB_ENV == "auto" else _SLAB_ENV == "1"
 def _slab_on() -> bool:
     global _SLAB
     if _SLAB is None:
-        _SLAB = jax.default_backend() == "tpu"
+        # auto: single-device TPU only. Multi-device processes keep the
+        # fused scan until the slab pallas_call is validated under pjit
+        # sharding (the hermetic dryrun runs on CPU, so the combination has
+        # never executed); SB_LSTM_SLAB=1 forces it there.
+        _SLAB = (jax.default_backend() == "tpu"
+                 and jax.device_count() == 1)
     return _SLAB
 
 

@@ -90,16 +90,19 @@ _SLAB_ENV = os.environ.get("SB_LSTM_SLAB", "auto")
 _SLAB = None if _SLAB_ENV == "auto" else _SLAB_ENV == "1"
 
 
-def _slab_on() -> bool:
-    global _SLAB
-    if _SLAB is None:
-        # auto: single-device TPU only. Multi-device processes keep the
-        # fused scan until the slab pallas_call is validated under pjit
-        # sharding (the hermetic dryrun runs on CPU, so the combination has
-        # never executed); SB_LSTM_SLAB=1 forces it there.
-        _SLAB = (jax.default_backend() == "tpu"
-                 and jax.device_count() == 1)
-    return _SLAB
+def _slab_route(mixed: bool) -> bool:
+    """Whether _run_fused routes through the slab kernels. SB_LSTM_SLAB=1/0
+    (or set_slab) forces either way for any dtype; "auto" engages exactly
+    the measured regime — bf16/mixed trunk on a single-device TPU process.
+    f32 forwards (eval CLIs, the driver's compile check) and multi-device
+    processes keep the fused scan until those combinations are
+    device-validated (the hermetic dryrun runs on CPU, so slab-under-pjit
+    has never executed; the slab kernels have only been Mosaic-compiled at
+    bf16 training shapes)."""
+    if _SLAB is not None:
+        return _SLAB
+    return (mixed and jax.default_backend() == "tpu"
+            and jax.device_count() == 1)
 
 
 def set_custom_vjp(flag: bool):
@@ -714,7 +717,7 @@ def _run_fused(params, x, h0, c0, reverse):
     x_t = jnp.moveaxis(x, -2, 0).reshape(t, r, x.shape[-1])
     mixed = (params["w_hh"].dtype == jnp.bfloat16
              or x.dtype == jnp.bfloat16)
-    if _slab_on() and t >= 2 and _h_from_ys_exact(mixed):
+    if _slab_route(mixed) and t >= 2 and _h_from_ys_exact(mixed):
         from sound_bubble_tpu.ops.pallas.lstm_train_slab import lstm_slab
         ys, hT, cT = lstm_slab(reverse, params["w_ih"], params["w_hh"],
                                params["b"], x_t,

@@ -188,3 +188,30 @@ def test_slab_through_blstm_and_lstm(rng, t_len):
                       jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_slab_auto_route_is_scoped_to_measured_regime(monkeypatch):
+    """Auto-routing engages ONLY the measured regime — bf16/mixed trunk on a
+    single-device TPU process; SB_LSTM_SLAB / set_slab forces any dtype.
+    Pins the round-4 gate so an f32 eval CLI (or the driver compile check,
+    or a pjit multi-device process) can never silently pick up the slab
+    kernels, which are Mosaic-validated only at bf16 training shapes."""
+    # test processes run on CPU: auto must stay off for every dtype
+    assert rnn._slab_route(True) is False
+    assert rnn._slab_route(False) is False
+    # simulate the measured regime (single-device TPU)
+    monkeypatch.setattr(rnn.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(rnn.jax, "device_count", lambda: 1)
+    assert rnn._slab_route(True) is True     # bf16/mixed: routed
+    assert rnn._slab_route(False) is False   # f32 forward: fused scan
+    # multi-device TPU process keeps the fused scan until pjit-validated
+    monkeypatch.setattr(rnn.jax, "device_count", lambda: 8)
+    assert rnn._slab_route(True) is False
+    # force wins for any dtype / backend
+    try:
+        rnn.set_slab(True)
+        assert rnn._slab_route(False) is True
+        rnn.set_slab(False)
+        assert rnn._slab_route(True) is False
+    finally:
+        rnn.set_slab(None)   # restore auto

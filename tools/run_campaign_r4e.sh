@@ -1,0 +1,67 @@
+#!/bin/bash
+# Round-4 leg E: deepen the from-scratch r4c recipe.
+#
+# Continues runs/pretrain_r4c (deadline-cut at ~20k of 78k steps) for
+# another deadline box, re-finetunes from the deeper checkpoint into a
+# FRESH run dir (runs/finetune_r4e), then re-runs the 9 campaign evals
+# into runs/eval_r4e* so leg C's tables (eval_r4c*) stay intact for the
+# depth comparison.
+#
+#   DEADLINE_PRETRAIN_MIN=100 DEADLINE_FINETUNE_MIN=45 \
+#     nohup setsid bash tools/run_campaign_r4e.sh > runs/campaign_r4e.log 2>&1 &
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+STEPS_PRETRAIN=${STEPS_PRETRAIN:-78000}
+STEPS_FINETUNE=${STEPS_FINETUNE:-20000}
+DEADLINE_PRETRAIN_MIN=${DEADLINE_PRETRAIN_MIN:-100}
+DEADLINE_FINETUNE_MIN=${DEADLINE_FINETUNE_MIN:-45}
+stamp() { date "+%F %T"; }
+
+echo "[$(stamp)] leg E stage 1: pretrain_r4c resume (deadline ${DEADLINE_PRETRAIN_MIN} min)"
+python tools/stall_watchdog.py --log runs/pretrain_r4c/metrics.jsonl \
+    --stale-min 6 --grace-min 45 --deadline-min "$DEADLINE_PRETRAIN_MIN" \
+    -- python src/train_stream.py --run_dir runs/pretrain_r4c \
+       --config runs/_cfg_pretrain_r4c.json --steps "$STEPS_PRETRAIN" \
+       --pool 4000 --val_pool 180 --batch 8 --pool_bf16 \
+       --clip_seconds 2.5 --voice mix --bg_noise 0.5 --seed 46 \
+       --plateau_patience 12 --pool_cache runs/pool_cache --resume \
+    >> runs/pretrain_r4c.log 2>&1
+rc=$?
+echo "[$(stamp)] stage 1 done rc=$rc"
+[ $rc -ne 0 ] && { echo "[$(stamp)] ABORT: pretrain failed"; exit $rc; }
+
+echo "[$(stamp)] leg E stage 2: finetune_r4e (deadline ${DEADLINE_FINETUNE_MIN} min)"
+python tools/stall_watchdog.py --log runs/finetune_r4e/metrics.jsonl \
+    --stale-min 6 --grace-min 45 --deadline-min "$DEADLINE_FINETUNE_MIN" \
+    -- python src/train_stream.py --run_dir runs/finetune_r4e \
+       --config runs/_cfg_finetune_r4e.json --steps "$STEPS_FINETUNE" \
+       --pool 4000 --val_pool 180 --batch 8 --pool_bf16 \
+       --clip_seconds 2.5 --voice mix --bg_noise 0.5 --seed 48 \
+       --plateau_patience 12 --pool_cache runs/pool_cache --resume \
+    >> runs/finetune_r4e.log 2>&1
+rc=$?
+echo "[$(stamp)] stage 2 done rc=$rc"
+[ $rc -ne 0 ] && { echo "[$(stamp)] ABORT: finetune failed"; exit $rc; }
+
+for radius in 1m 1_5m 2m; do
+  case $radius in
+    1m) thr=1.0;; 1_5m) thr=1.5;; 2m) thr=2.0;;
+  esac
+  for pair in "data_eval_r4:eval_r4e" "data_eval_r4b:eval_r4e_noise"; do
+    src_dir=${pair%%:*}; out_tag=${pair##*:}
+    echo "[$(stamp)] eval $src_dir syn_${radius}"
+    python src/eval_syn.py "$src_dir/syn_${radius}/test" runs/finetune_r4e \
+        "runs/${out_tag}/syn_${radius}" --distance_threshold $thr \
+        > "runs/${out_tag}_syn_${radius}.log" 2>&1 \
+        || echo "eval $out_tag syn_${radius} FAILED"
+  done
+  echo "[$(stamp)] eval goldens syn_${radius}"
+  python src/eval_syn.py /root/reference/test_samples/syn_${radius} \
+      runs/finetune_r4e runs/eval_r4e_goldens/syn_${radius} \
+      --distance_threshold $thr \
+      > runs/eval_r4e_goldens_syn_${radius}.log 2>&1 \
+      || echo "eval goldens syn_${radius} FAILED"
+done
+echo "[$(stamp)] leg E complete"
+touch runs/campaign_r4e.DONE

@@ -328,6 +328,28 @@ def speechlike_voices(key, batch_shape, n: int, sr: int) -> jnp.ndarray:
 
 # ------------------------------------------------------- batch assembly ----
 
+def radius_probs(dis_embed: np.ndarray, weights) -> np.ndarray:
+    """Per-scenario sampling probabilities that re-weight the bubble radii.
+
+    dis_embed: [P, 3] one-hot rows (DIS_EMBEDS layout: column 0 = 2.0 m,
+    column 1 = 1.5 m, column 2 = 1.0 m). weights: 3 floats in RADII order
+    (1.0, 1.5, 2.0). Returns [P] probabilities summing to 1, uniform WITHIN
+    each radius class — so `rng.choice(P, p=...)` oversamples the weighted
+    radii without biasing room/source geometry inside a class.
+    """
+    d = np.asarray(dis_embed, np.float32)
+    cls = 2 - np.argmax(d, axis=1)          # column -> index into RADII
+    w = np.asarray(list(weights), np.float64)
+    if w.shape != (3,) or (w < 0).any() or w.sum() <= 0:
+        raise ValueError(f"radius_weights must be 3 nonnegative floats: {weights}")
+    counts = np.bincount(cls, minlength=3).astype(np.float64)
+    if ((w > 0) & (counts == 0)).any():
+        raise ValueError("pool has no scenarios for a radius with weight > 0")
+    per_class = np.where(counts > 0, w / np.maximum(counts, 1), 0.0)
+    p = per_class[cls]
+    return p / p.sum()
+
+
 def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
                snr_range=(-10.0, 5.0), voice: str = "formant",
                bg_noise_p: float = 0.0):

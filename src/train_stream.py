@@ -148,6 +148,14 @@ def main(args):
 
     pool = host_pool(args.pool, args.seed, "train")
     val_pool = host_pool(args.val_pool, args.seed + VAL_SEED, "val")
+    idx_probs = None
+    if args.radius_weights:
+        weights = [float(w) for w in args.radius_weights.split(",")]
+        idx_probs = campaign.radius_probs(pool["dis_embed"], weights)
+        cls = 2 - np.argmax(np.asarray(pool["dis_embed"]), axis=1)
+        mix = [round(float(idx_probs[cls == i].sum()), 3) for i in range(3)]
+        print(f"radius_weights {weights} -> class mix 1.0/1.5/2.0 m = {mix}",
+              flush=True)
     print(f"pool built in {time.time() - t0:.0f}s; uploading ...", flush=True)
     t0 = time.time()
     pool = jax.tree_util.tree_map(
@@ -240,7 +248,10 @@ def main(args):
 
     for step in range(start_step, args.steps):
         key, k = jax.random.split(key)
-        idx = jnp.asarray(rng.integers(0, args.pool, batch))
+        if idx_probs is not None:
+            idx = jnp.asarray(rng.choice(len(idx_probs), batch, p=idx_probs))
+        else:
+            idx = jnp.asarray(rng.integers(0, args.pool, batch))
         params, opt_state, loss, sisdri = jit_train(
             params, opt_state, jnp.float32(module.optimizer.lr), k, idx,
             pool)
@@ -325,6 +336,10 @@ if __name__ == "__main__":
                    help="probability a sample carries far-field background "
                         "noise (reference n_BG in {0,1}; needs a bg pool — "
                         "see datagen.campaign.make_batch)")
+    p.add_argument("--radius_weights", default=None,
+                   help="comma weights for the 1.0/1.5/2.0 m radius classes "
+                        "(e.g. '1,1.5,2.5' oversamples larger bubbles); "
+                        "default uniform")
     p.add_argument("--pool_cache", default=None,
                    help="directory for cached scenario pools (npz)")
     p.add_argument("--cpu", action="store_true",

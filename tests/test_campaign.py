@@ -202,3 +202,36 @@ def test_bg_noise_pool_and_batch():
     # legacy path ignores the noise slot's signal: with no speakers active
     # in slots 0..3 the mixture is silent
     assert np.abs(np.asarray(inputs0["mixture"])).max() <= 1e-6
+
+
+def test_radius_probs_reweighting():
+    """--radius_weights sampling distribution: per-class mass follows the
+    weights, uniform within a class, errors on bad input."""
+    import numpy as np
+    from sound_bubble_tpu.datagen.campaign import DIS_EMBEDS, radius_probs
+
+    # pool of 7 scenarios cycling 1.0/1.5/2.0 like build_pool (3/2/2 split)
+    radii = [1.0, 1.5, 2.0, 1.0, 1.5, 2.0, 1.0]
+    dis = np.asarray([DIS_EMBEDS[r] for r in radii], np.float32)
+
+    p = radius_probs(dis, (1.0, 1.0, 2.0))
+    assert p.shape == (7,) and abs(p.sum() - 1.0) < 1e-9
+    mass = {r: p[[i for i, rr in enumerate(radii) if rr == r]].sum()
+            for r in (1.0, 1.5, 2.0)}
+    assert abs(mass[1.0] - 0.25) < 1e-9
+    assert abs(mass[1.5] - 0.25) < 1e-9
+    assert abs(mass[2.0] - 0.50) < 1e-9
+    # uniform within a class despite unequal class sizes
+    ones = [p[i] for i, r in enumerate(radii) if r == 1.0]
+    assert max(ones) - min(ones) < 1e-12
+
+    # uniform weights == uniform over the pool only for equal class counts;
+    # here class 1.0 has 3 members so each gets (1/3)/3
+    pu = radius_probs(dis, (1.0, 1.0, 1.0))
+    assert abs(pu[0] - (1 / 3) / 3) < 1e-9 and abs(pu[1] - (1 / 3) / 2) < 1e-9
+
+    import pytest
+    with pytest.raises(ValueError):
+        radius_probs(dis, (1.0, -1.0, 1.0))
+    with pytest.raises(ValueError):
+        radius_probs(dis[:1], (1.0, 1.0, 1.0))  # weight>0, class absent

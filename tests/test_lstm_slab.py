@@ -179,10 +179,11 @@ def test_slab_through_blstm_and_lstm(rng, t_len):
         rnn.set_slab(True)
         got = loss(bp, lp, x)
         g = jax.grad(loss, argnums=(0, 1, 2))(bp, lp, x)
-    finally:
         rnn.set_slab(False)
-    ref = loss(bp, lp, x)
-    gr = jax.grad(loss, argnums=(0, 1, 2))(bp, lp, x)
+        ref = loss(bp, lp, x)
+        gr = jax.grad(loss, argnums=(0, 1, 2))(bp, lp, x)
+    finally:
+        rnn.set_slab(None)   # restore auto so later tests see the real gate
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
     for gl, rl in zip(jax.tree_util.tree_leaves(g),
                       jax.tree_util.tree_leaves(gr)):

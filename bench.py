@@ -23,7 +23,7 @@ import numpy as np
 SERVING_BATCH = 256
 
 
-def _measure(net, cfg, batch, n_chunks=125, repeats=5, bf16=False):
+def _measure(net, cfg, batch, n_chunks=125, repeats=5, bf16=False, outer=3):
     import jax
     import jax.numpy as jnp
 
@@ -58,13 +58,25 @@ def _measure(net, cfg, batch, n_chunks=125, repeats=5, bf16=False):
     # pipeline the repeats (block once at the end): the host<->device tunnel
     # adds ~20-40 ms per blocking round-trip, which is dispatch overhead, not
     # streaming compute — chained dispatches keep the device saturated.
-    t0 = time.perf_counter()
-    ys = None
-    for _ in range(repeats):
-        _, ys = run(variables["params"], windows, state0)
-    jax.block_until_ready(ys)
-    total = time.perf_counter() - t0
-    return total / repeats / n_chunks * 1e3  # ms per chunk step
+    # `outer` independent timed runs, min-of-N like the reference's latency
+    # harness (edge/check_runtime.py 10-run min) so a noisy tunnel sample is
+    # distinguishable from a real regression (VERDICT r4 #6); the spread is
+    # surfaced through _SPREADS.
+    means = []
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        ys = None
+        for _ in range(repeats):
+            _, ys = run(variables["params"], windows, state0)
+        jax.block_until_ready(ys)
+        means.append((time.perf_counter() - t0) / repeats / n_chunks * 1e3)
+    _SPREADS[f"b{batch}{'_bf16' if bf16 else ''}"] = (
+        round(min(means), 4), round(max(means), 4))
+    return min(means)  # ms per chunk step
+
+
+# per-measurement (min, max) over the outer timing runs, keyed by batch/tag
+_SPREADS: dict = {}
 
 
 def _measure_fused(net, cfg, n_chunks=125, repeats=5):
@@ -96,12 +108,15 @@ def _measure_fused(net, cfg, n_chunks=125, repeats=5):
         jrun = jax.jit(run)
         state0 = init_state(cfg, 1)
         jax.block_until_ready(jrun(windows, state0, fs._film)[1])
-        t0 = time.perf_counter()
-        ys = None
-        for _ in range(repeats):
-            _, ys = jrun(windows, state0, fs._film)
-        jax.block_until_ready(ys)
-        return (time.perf_counter() - t0) / repeats / n_chunks * 1e3
+        means = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ys = None
+            for _ in range(repeats):
+                _, ys = jrun(windows, state0, fs._film)
+            jax.block_until_ready(ys)
+            means.append((time.perf_counter() - t0) / repeats / n_chunks * 1e3)
+        return min(means)
     except Exception:
         return None
 
@@ -269,6 +284,8 @@ def main():
         "train_ingest_x_realtime": round(train_ingest, 1),
         "train_path": train_tag,
         "edge_single_stream_ms_per_8ms_chunk": round(edge_ms, 4),
+        "serving_ms_min_max": _SPREADS.get(
+            f"b{best_batch}{'_bf16' if best_tag == 'bf16' else ''}"),
         "device": str(jax.devices()[0]),
     }))
 

@@ -350,9 +350,61 @@ def radius_probs(dis_embed: np.ndarray, weights) -> np.ndarray:
     return p / p.sum()
 
 
+def scenario_probs(pool, radius_weights=None, nin_weights=None) -> np.ndarray:
+    """Joint radius x in-bubble-speaker-count reweighting (round-5 overlap
+    curriculum, VERDICT r4 #2).
+
+    The reference trains on exact 0/1/2-in-bubble thirds
+    (`generate_adaptive_dataset.py:835-841` splits the sample index range
+    into thirds by speaker count); this generalizes `radius_probs` so a
+    campaign can OVERSAMPLE the diagnosed weak regimes — dense 2-in-bubble
+    overlap and the empty-bubble mute case — without touching geometry.
+
+    radius_weights: 3 floats in RADII order (1.0, 1.5, 2.0 m) or None.
+    nin_weights: 3 floats for n_in = 0/1/2 in-bubble speakers or None.
+    Returns [P] probabilities; the total mass of joint class (r, n) is
+    proportional to w_r[r] * w_n[n], uniform WITHIN each joint class.
+    """
+    d = np.asarray(pool["dis_embed"], np.float32)
+    cls_r = 2 - np.argmax(d, axis=1)                    # -> index into RADII
+    nin = np.rint(np.asarray(pool["near_mask"], np.float32).sum(1)).astype(int)
+    if (nin < 0).any() or (nin > 2).any():
+        raise ValueError("near_mask rows must sum to 0/1/2 speakers")
+
+    def _w(weights, name):
+        if weights is None:
+            return None
+        w = np.asarray(list(weights), np.float64)
+        if w.shape != (3,) or (w < 0).any() or w.sum() <= 0:
+            raise ValueError(f"{name} must be 3 nonnegative floats: {weights}")
+        return w
+
+    wr = _w(radius_weights, "radius_weights")
+    wn = _w(nin_weights, "nin_weights")
+    # a None dimension is COLLAPSED (all scenarios share one class along
+    # it), so radius-only input reproduces radius_probs exactly — the mass
+    # within a radius class stays uniform regardless of its n_in makeup
+    cr = cls_r if wr is not None else np.zeros_like(cls_r)
+    cn = nin if wn is not None else np.zeros_like(nin)
+    wr_eff = wr if wr is not None else np.ones(3)
+    wn_eff = wn if wn is not None else np.ones(3)
+    joint = cr * 3 + cn
+    counts = np.bincount(joint, minlength=9).astype(np.float64)
+    w = np.outer(wr_eff, wn_eff).reshape(9)
+    for r in (range(3) if wr is not None else (0,)):
+        for n_ in (range(3) if wn is not None else (0,)):
+            if w[r * 3 + n_] > 0 and counts[r * 3 + n_] == 0:
+                raise ValueError(
+                    "pool has no scenarios for a weighted (radius, n_in) "
+                    "class; enlarge the pool or zero that weight")
+    per_class = np.where(counts > 0, w / np.maximum(counts, 1), 0.0)
+    p = per_class[joint]
+    return p / p.sum()
+
+
 def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
                snr_range=(-10.0, 5.0), voice: str = "formant",
-               bg_noise_p: float = 0.0):
+               bg_noise_p: float = 0.0, dense2_p: float = 0.0):
     """One training batch from the pool, fully on device.
 
     idx: [B] int32 scenario indices. Returns (inputs, targets) with
@@ -367,6 +419,13 @@ def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
     the reference's BG (generate.py:233-235) instead of the speakers'
     U(0.5,0.9); it joins the `far` sum, so the exact-SNR solve counts it
     exactly as the reference's `rescale_mixture_to_target_snr` does.
+    dense2_p: probability that a 2-in-bubble sample gets the DENSE-OVERLAP
+    treatment (round-5 curriculum): both in-bubble talkers are formant
+    voices with pause probability 0.05 (near-continuous speech), leading
+    silence capped at 0.12 s, and F0 bases drawn within +-2 semitones of a
+    shared center — the close-F0 / high-temporal-overlap regime the
+    goldens dissection showed the model mutes wholesale. Requires
+    voice in ("formant", "mix").
     """
     bg = bg_noise_p > 0.0 and "noise_mask" in pool
     kv, kp, ks = jax.random.split(key, 3)
@@ -382,9 +441,31 @@ def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
         kv, kb, kg = jax.random.split(kv, 3)
 
     s_v = s - 1 if bg else s               # speech slots
+    dense_kw, dm = {}, None
+    if dense2_p > 0.0:
+        if voice not in ("formant", "mix"):
+            raise ValueError("dense2_p needs voice='formant' or 'mix'")
+        kv, kd1, kd2, kd3 = jax.random.split(kv, 4)
+        two_in = jnp.sum(near_mask, axis=1) >= 2.0
+        dense = jnp.logical_and(
+            two_in, jax.random.bernoulli(kd1, dense2_p, (b,)))
+        # in-bubble sources always occupy the FIRST slots (sample_scenario
+        # sets near[:n_in] = 1), so the pair mask is slots {0, 1}
+        dm = dense[:, None] & (jnp.arange(s_v) < 2)[None, :]   # [b, s_v]
+        f0c = jax.random.uniform(kd2, (b, 1), minval=105.0, maxval=215.0)
+        f0_pair = f0c * 2.0 ** jax.random.uniform(
+            kd3, (b, 2), minval=-2.0 / 12, maxval=2.0 / 12)
+        f0_full = jnp.pad(f0_pair, ((0, 0), (0, s_v - 2)),
+                          constant_values=-1.0)
+        default_hi = float(max(int(min(1.33 * sr, 0.4 * n_samples)),
+                               int(0.083 * sr) + 1))
+        dense_kw = dict(
+            pause_p=jnp.where(dm, 0.05, 0.20),
+            sil_hi=jnp.where(dm, 0.12 * sr, default_hi),
+            f0_base=jnp.where(dm, f0_full, -1.0))
     if voice == "formant":
         from sound_bubble_tpu.datagen.voice import formant_voices
-        voices = formant_voices(kv, (b, s_v), n_samples, sr)
+        voices = formant_voices(kv, (b, s_v), n_samples, sr, **dense_kw)
     elif voice == "mix":
         # broadened source statistics: 75% Klatt-style formant voices,
         # 25% harmonic quasi-speech, drawn per source — widens the timbre
@@ -393,8 +474,11 @@ def make_batch(key, pool, idx, *, n_samples: int, sr: int = 24000,
         from sound_bubble_tpu.datagen.voice import formant_voices
         kv1, kv2, kc = jax.random.split(kv, 3)
         pick = jax.random.bernoulli(kc, 0.75, (b, s_v))
+        if dm is not None:
+            pick = jnp.logical_or(pick, dm)   # dense pairs are always formant
         voices = jnp.where(pick[:, :, None],
-                           formant_voices(kv1, (b, s_v), n_samples, sr),
+                           formant_voices(kv1, (b, s_v), n_samples, sr,
+                                          **dense_kw),
                            speechlike_voices(kv2, (b, s_v), n_samples, sr))
     else:
         voices = speechlike_voices(kv, (b, s_v), n_samples, sr)

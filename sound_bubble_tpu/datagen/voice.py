@@ -54,12 +54,25 @@ def _smooth(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return sum(float(w[i]) * xp[i:i + x.shape[0]] for i in range(k))
 
 
-def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int):
+def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int,
+               pause_p, sil_hi, f0_base_in):
+    """One voice. The last three args are per-voice TRACED scalars
+    (round-5 overlap curriculum, VERDICT r4 #2):
+
+    pause_p     pause-syllable probability (0.20 = the default talker;
+                ~0.05 makes a DENSE talker with near-continuous speech —
+                the unvoiced/plosive rates stay fixed, pause mass converts
+                to voiced syllables);
+    sil_hi      leading-silence upper bound in SAMPLES;
+    f0_base_in  talker F0 base in Hz, or <=0 to draw the default U(95,240).
+    """
     ks = jax.random.split(key, 18)
     f32 = jnp.float32
 
     # --- per-speaker draws (one per clip: talker identity) ---
-    f0_base = jax.random.uniform(ks[2], (), minval=95.0, maxval=240.0)
+    f0_base = jnp.where(
+        f0_base_in > 0.0, f0_base_in,
+        jax.random.uniform(ks[2], (), minval=95.0, maxval=240.0))
     # vocal tract length tracks F0 (taller talkers: lower F0, lower formants);
     # ~+-2 semitone independent spread on top of the correlation
     vtl = (f0_base / 150.0) ** 0.25 * 2.0 ** jax.random.uniform(
@@ -73,9 +86,9 @@ def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int):
     bounds = jnp.cumsum(dur)
     centers = bounds - dur / 2
     u = jax.random.uniform(ks[1], (S,))
-    is_pause = u < 0.20
-    is_unv = (u >= 0.20) & (u < 0.36)
-    is_plos = (u >= 0.36) & (u < 0.52)   # stop-onset voiced syllable
+    is_pause = u < pause_p
+    is_unv = (u >= pause_p) & (u < pause_p + 0.16)
+    is_plos = (u >= pause_p + 0.16) & (u < pause_p + 0.32)  # stop-onset voiced
     voiced_s = ((~is_pause) & (~is_unv)).astype(f32)
 
     f0_s = f0_base * 2.0 ** (f0_range * jax.random.uniform(
@@ -158,23 +171,38 @@ def _one_voice(key, n: int, sr: int, hop: int, win: int, S: int):
 
     # --- leading silence + floor + peak norm ---
     lo = int(0.083 * sr)
-    hi = max(int(min(1.33 * sr, 0.4 * n)), lo + 1)
-    zs = jax.random.randint(ks[10], (), lo, hi)
+    hi = jnp.maximum(sil_hi.astype(jnp.int32), lo + 1)
+    zs = jax.random.randint(ks[10], (), jnp.minimum(lo, hi - 1), hi)
     y = jnp.where(jnp.arange(n) < zs, 0.0, y)
     y = y + 0.0007 * jax.random.normal(ks[11], (n,))
     return y / (jnp.max(jnp.abs(y)) + 1e-9)
 
 
 @functools.partial(jax.jit, static_argnames=("batch_shape", "n", "sr"))
-def formant_voices(key, batch_shape, n: int, sr: int) -> jnp.ndarray:
-    """Batched formant voices: [*batch_shape, n] float32."""
+def formant_voices(key, batch_shape, n: int, sr: int,
+                   pause_p=None, sil_hi=None, f0_base=None) -> jnp.ndarray:
+    """Batched formant voices: [*batch_shape, n] float32.
+
+    Optional per-voice overrides, each [*batch_shape] (round-5 overlap
+    curriculum): `pause_p` pause probability (default 0.20), `sil_hi`
+    leading-silence cap in samples (default min(1.33 s, 0.4*n)),
+    `f0_base` talker F0 in Hz (<=0 or None: draw the default U(95,240))."""
     bs = tuple(batch_shape)
     m = int(np.prod(bs)) if bs else 1
     keys = jax.random.split(key, m)
     hop = max(sr // 200, 1)          # 5 ms
     win = 4 * hop                    # 20 ms, 75% overlap
     S = int(n / sr * 5) + 2          # syllable slots
-    out = jax.vmap(lambda k: _one_voice(k, n, sr, hop, win, S))(keys)
+    default_hi = float(max(int(min(1.33 * sr, 0.4 * n)), int(0.083 * sr) + 1))
+    pp = (jnp.full((m,), 0.20, jnp.float32) if pause_p is None
+          else jnp.asarray(pause_p, jnp.float32).reshape(m))
+    sh = (jnp.full((m,), default_hi, jnp.float32) if sil_hi is None
+          else jnp.asarray(sil_hi, jnp.float32).reshape(m))
+    fb = (jnp.full((m,), -1.0, jnp.float32) if f0_base is None
+          else jnp.asarray(f0_base, jnp.float32).reshape(m))
+    out = jax.vmap(
+        lambda k, p, s, f: _one_voice(k, n, sr, hop, win, S, p, s, f)
+    )(keys, pp, sh, fb)
     return out.reshape(bs + (n,))
 
 

@@ -131,8 +131,27 @@ def main(args):
                     break
         if cache is not None and cache.exists():
             z = np.load(cache)
-            pool_ = {k: z[k][:n] for k in z.files}
+            if "_meta" in z.files:
+                # pools are keyed by {tag}_{n}_{seed}; the acoustic params
+                # live inside the file — reject a cache generated with a
+                # different sr/rir_len/max_order instead of silently
+                # training on it (ADVICE r4 #1)
+                want = np.asarray([sr, args.rir_len, args.max_order])
+                if not np.array_equal(z["_meta"], want):
+                    raise SystemExit(
+                        f"pool cache {cache} was generated with "
+                        f"sr/rir_len/max_order={z['_meta'].tolist()} but "
+                        f"this run wants {want.tolist()}; delete or "
+                        f"regenerate it (tools/pregen_pool.py)")
+            pool_ = {k: z[k][:n] for k in z.files if k != "_meta"}
             print(f"loaded cached pool {cache}", flush=True)
+        elif args.require_pool_cache:
+            raise SystemExit(
+                f"--require_pool_cache: no cache for {tag}_{n}_{seed} under "
+                f"{args.pool_cache}; pregen it out-of-band first "
+                f"(python tools/pregen_pool.py --n {n} --seed {seed} "
+                f"--tag {tag.removeprefix('bg')}"
+                f"{' --bg' if tag.startswith('bg') else ''})")
         else:
             pool_, _ = campaign.build_pool(
                 n, seed=seed, sr=sr, rir_len=args.rir_len,
@@ -140,7 +159,8 @@ def main(args):
                 bg_noise=args.bg_noise > 0)
             if cache is not None:
                 cache.parent.mkdir(parents=True, exist_ok=True)
-                np.savez(cache, **pool_)
+                np.savez(cache, _meta=np.asarray(
+                    [sr, args.rir_len, args.max_order]), **pool_)
         if pool_dtype != jnp.float32:
             import ml_dtypes
             pool_["rirs"] = pool_["rirs"].astype(ml_dtypes.bfloat16)
@@ -149,12 +169,18 @@ def main(args):
     pool = host_pool(args.pool, args.seed, "train")
     val_pool = host_pool(args.val_pool, args.seed + VAL_SEED, "val")
     idx_probs = None
-    if args.radius_weights:
-        weights = [float(w) for w in args.radius_weights.split(",")]
-        idx_probs = campaign.radius_probs(pool["dis_embed"], weights)
+    if args.radius_weights or args.nin_weights:
+        parse = lambda s: [float(w) for w in s.split(",")] if s else None
+        rw, nw = parse(args.radius_weights), parse(args.nin_weights)
+        idx_probs = campaign.scenario_probs(
+            {k: np.asarray(pool[k]) for k in ("dis_embed", "near_mask")},
+            radius_weights=rw, nin_weights=nw)
         cls = 2 - np.argmax(np.asarray(pool["dis_embed"]), axis=1)
         mix = [round(float(idx_probs[cls == i].sum()), 3) for i in range(3)]
-        print(f"radius_weights {weights} -> class mix 1.0/1.5/2.0 m = {mix}",
+        nin = np.rint(np.asarray(pool["near_mask"]).sum(1)).astype(int)
+        nmix = [round(float(idx_probs[nin == i].sum()), 3) for i in range(3)]
+        print(f"radius_weights {rw} nin_weights {nw} -> "
+              f"radius mix 1.0/1.5/2.0 m = {mix}, n_in mix 0/1/2 = {nmix}",
               flush=True)
     print(f"pool built in {time.time() - t0:.0f}s; uploading ...", flush=True)
     t0 = time.time()
@@ -168,7 +194,7 @@ def main(args):
         inputs, targets = campaign.make_batch(
             key, pool_, idx, n_samples=n_samples, sr=sr,
             snr_range=(args.snr_min, args.snr_max), voice=args.voice,
-            bg_noise_p=args.bg_noise)
+            bg_noise_p=args.bg_noise, dense2_p=args.dense2_p)
         model_in = {"mixture": inputs["mixture"]}
         if getattr(net.cfg, "conditional", True):
             model_in["dis_embed"] = inputs["dis_embed"]
@@ -340,8 +366,22 @@ if __name__ == "__main__":
                    help="comma weights for the 1.0/1.5/2.0 m radius classes "
                         "(e.g. '1,1.5,2.5' oversamples larger bubbles); "
                         "default uniform")
+    p.add_argument("--nin_weights", default=None,
+                   help="comma weights for the 0/1/2 in-bubble-speaker "
+                        "classes (e.g. '1.2,1,1.6' oversamples the "
+                        "empty-bubble mute case and dense 2-speaker "
+                        "overlap); default uniform")
+    p.add_argument("--dense2_p", type=float, default=0.0,
+                   help="probability a 2-in-bubble sample uses the dense-"
+                        "overlap curriculum (close-F0, pause-free in-bubble "
+                        "pair — datagen.campaign.make_batch)")
     p.add_argument("--pool_cache", default=None,
                    help="directory for cached scenario pools (npz)")
+    p.add_argument("--require_pool_cache", action="store_true",
+                   help="hard-fail when the pool cache entry is absent "
+                        "instead of rebuilding it in-process (keeps "
+                        "deadline-boxed campaign stages from spending "
+                        "their budget on datagen)")
     p.add_argument("--cpu", action="store_true",
                    help="pin the CPU backend (the TPU plugin overrides "
                         "JAX_PLATFORMS; tests/smoke runs need this)")

@@ -235,3 +235,102 @@ def test_radius_probs_reweighting():
         radius_probs(dis, (1.0, -1.0, 1.0))
     with pytest.raises(ValueError):
         radius_probs(dis[:1], (1.0, 1.0, 1.0))  # weight>0, class absent
+
+
+def test_scenario_probs_joint_reweighting():
+    """Joint radius x n_in reweighting (round-5 overlap curriculum): class
+    mass proportional to w_r*w_n, uniform within a joint class, and the
+    radius_weights-only path matches radius_probs exactly."""
+    from sound_bubble_tpu.datagen.campaign import (
+        DIS_EMBEDS, radius_probs, scenario_probs)
+
+    radii = [1.0, 1.5, 2.0] * 4
+    nins = [0, 1, 2, 2, 1, 0, 1, 2, 0, 2, 0, 1]   # each (r, n) class once+
+    dis = np.asarray([DIS_EMBEDS[r] for r in radii], np.float32)
+    near = np.zeros((12, 4), np.float32)
+    for i, n in enumerate(nins):
+        near[i, :n] = 1.0
+    pool = {"dis_embed": dis, "near_mask": near}
+
+    # radius-only degenerates to radius_probs
+    p = scenario_probs(pool, radius_weights=(1.0, 1.0, 2.0))
+    assert np.allclose(p, radius_probs(dis, (1.0, 1.0, 2.0)))
+
+    # joint: mass of (r=2.0, n_in=2) doubles relative to (r=2.0, n_in=0)
+    p = scenario_probs(pool, radius_weights=(1, 1, 2),
+                       nin_weights=(1, 1, 2))
+    assert abs(p.sum() - 1.0) < 1e-9
+    m = {}
+    for r in (1.0, 1.5, 2.0):
+        for n in (0, 1, 2):
+            sel = [i for i in range(12) if radii[i] == r and nins[i] == n]
+            m[(r, n)] = p[sel].sum()
+    assert abs(m[(2.0, 2)] / m[(2.0, 0)] - 2.0) < 1e-9
+    assert abs(m[(2.0, 0)] / m[(1.0, 0)] - 2.0) < 1e-9
+    assert abs(sum(m.values()) - 1.0) < 1e-9
+
+    import pytest
+    with pytest.raises(ValueError):
+        scenario_probs(pool, nin_weights=(1.0, 1.0))      # wrong arity
+    with pytest.raises(ValueError):
+        # weight > 0 on an absent joint class
+        scenario_probs({"dis_embed": dis[:1], "near_mask": near[:1]},
+                       nin_weights=(1.0, 1.0, 1.0))
+
+
+def test_dense2_curriculum_batch():
+    """dense2_p=1: every 2-in-bubble sample's in-bubble pair is rendered
+    dense (pause-starved, short leading silence, close F0) and the batch
+    stays finite/normalized; 0/1-in-bubble samples are untouched by the
+    mask construction."""
+    pool, _ = campaign.build_pool(
+        6, seed=3, sr=8000, rir_len=1024, order_range=(3, 5), verbose=False)
+    # force known speaker counts: slots are [near..., far...]
+    pool = dict(pool)
+    pool["near_mask"] = jnp.asarray(
+        [[1, 1, 0, 0]] * 3 + [[0, 0, 0, 0]] * 2 + [[1, 0, 0, 0]],
+        jnp.float32)
+    pool["active"] = jnp.asarray(
+        [[1, 1, 1, 0]] * 3 + [[1, 1, 0, 0]] * 2 + [[1, 1, 0, 0]],
+        jnp.float32)
+    for voice in ("formant", "mix"):
+        inputs, targets = campaign.make_batch(
+            jax.random.PRNGKey(5), pool, jnp.arange(6), n_samples=8000,
+            sr=8000, voice=voice, dense2_p=1.0)
+        mix = np.asarray(inputs["mixture"])
+        gt = np.asarray(targets["target"])
+        assert np.isfinite(mix).all() and np.abs(mix).max() <= 1.0 + 1e-5
+        assert (np.abs(gt[:3]).max(-1) > 0).all()
+        assert np.abs(gt[3:5]).max() == 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        campaign.make_batch(jax.random.PRNGKey(0), pool, jnp.arange(6),
+                            n_samples=8000, sr=8000, voice="harmonic",
+                            dense2_p=0.5)
+
+
+def test_dense_voice_knobs_overlap():
+    """The per-voice knobs measurably raise temporal overlap: a dense pair
+    (pause_p=0.05, sil_hi=0.12 s) has much higher joint-activity fraction
+    than default talkers, and f0_base pins the talker's pitch."""
+    from sound_bubble_tpu.datagen.voice import formant_voices
+
+    n, sr = 24000, 8000
+    k = jax.random.PRNGKey(7)
+    dense = np.asarray(formant_voices(
+        k, (8, 2), n, sr,
+        pause_p=jnp.full((8, 2), 0.05),
+        sil_hi=jnp.full((8, 2), 0.12 * sr),
+        f0_base=jnp.full((8, 2), 150.0)))
+    dflt = np.asarray(formant_voices(k, (8, 2), n, sr))
+
+    def joint_active(v):
+        # 10 ms frame energies; both voices active in the same frame
+        e = (v.reshape(8, 2, -1, sr // 100) ** 2).mean(-1)
+        act = e > 1e-4 * e.max(axis=-1, keepdims=True)
+        return (act[:, 0] & act[:, 1]).mean()
+
+    assert np.isfinite(dense).all() and np.isfinite(dflt).all()
+    assert joint_active(dense) > joint_active(dflt) + 0.15, (
+        joint_active(dense), joint_active(dflt))

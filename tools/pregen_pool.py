@@ -49,7 +49,10 @@ def main():
         order_range=(min(10, args.max_order), args.max_order),
         dtype=jnp.float32, to_device=False, bg_noise=args.bg)
     out.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(out, **pool)
+    # _meta pins the acoustic params the filename doesn't encode;
+    # train_stream.host_pool validates it on load (ADVICE r4 #1)
+    np.savez(out, _meta=np.asarray([args.sr, args.rir_len, args.max_order]),
+             **pool)
     print(f"wrote {out}")
 
 

@@ -122,7 +122,7 @@ eval_stage() {  # eval_stage RUN SET
     out=runs/eval_${LEG}_${tag}/syn_${radius}
     echo "[$(stamp)] eval $run / $set / syn_${radius}"
     python tools/stall_watchdog.py --log "runs/eval_${LEG}_${tag}_syn_${radius}.log" \
-        --stale-min "$STALE_MIN" --grace-min 6 --deadline-min 15 \
+        --stale-min "$STALE_MIN" --grace-min 6 --deadline-min 25 \
         -- python src/eval_syn.py "$src" "runs/$run" "$out" \
            --distance_threshold "$thr" \
         > "runs/eval_${LEG}_${tag}_syn_${radius}.log" 2>&1 \

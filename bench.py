@@ -245,7 +245,7 @@ def main():
     # serving candidates: (batch, ms, tag); bf16 halves activation HBM so a
     # 2x batch may fit and lift throughput further
     candidates = [(SERVING_BATCH, batch_ms, "f32")]
-    for b in (SERVING_BATCH, 2 * SERVING_BATCH):
+    for b in (SERVING_BATCH, 2 * SERVING_BATCH, 4 * SERVING_BATCH):
         try:
             candidates.append(
                 (b, _measure(net16, net16.cfg, batch=b, bf16=True), "bf16"))

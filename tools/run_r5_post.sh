@@ -38,6 +38,12 @@ EOF
 }
 
 # ---- stage 0: wait out / finish the pretrain --------------------------------
+# Liveness is judged by the r5a campaign PID, NOT log staleness: the inner
+# stall-watchdog's own kill+relaunch (pool reload + cold recompile) can
+# legitimately stale metrics.jsonl past any short threshold, and launching a
+# concurrent retry trainer against the same run dir / chip would be fatal.
+# Retry legs launched below run synchronously, so they can't race either.
+R5A_PID=${R5A_PID:-13143}
 retries=0
 while :; do
   s=$(step_now)
@@ -45,26 +51,25 @@ while :; do
     echo "[$(stamp)] pretrain at step $s >= $TARGET — done"
     break
   fi
-  if [ -f runs/campaign_r5a.DONE ] && [ "$retries" -eq 0 ]; then
-    echo "[$(stamp)] r5a DONE at step $s (< $TARGET?) — continuing anyway"
-    break
-  fi
-  age=$(log_age_min)
-  if [ "$age" -ge 10 ]; then
-    # leg dead (deadline cut or crash) below target: relaunch a resume box
-    retries=$((retries + 1))
-    if [ "$retries" -gt 4 ]; then
-      echo "[$(stamp)] pretrain stuck at $s after 4 retries — proceeding"
-      break
-    fi
-    echo "[$(stamp)] pretrain leg dead at step $s (log stale ${age}m) — retry #$retries"
-    PRETRAIN_RUN=pretrain_r4c PRETRAIN_STEPS=$TARGET \
-      PRETRAIN_DEADLINE_MIN=75 RW=1,1.1,1.3 NIN=1.2,1,1.6 DENSE2=0.5 \
-      bash tools/run_campaign.sh "r5a_retry$retries" pretrain \
-      >> runs/campaign_r5a_retries.log 2>&1
+  if [ -d "/proc/$R5A_PID" ]; then
+    sleep 120
     continue
   fi
-  sleep 120
+  if [ -f runs/campaign_r5a.DONE ] && [ "$retries" -eq 0 ]; then
+    echo "[$(stamp)] r5a DONE at step $s (< $TARGET) — continuing anyway"
+    break
+  fi
+  # original leg dead below target: relaunch a resume box (synchronous)
+  retries=$((retries + 1))
+  if [ "$retries" -gt 4 ]; then
+    echo "[$(stamp)] pretrain stuck at $s after 4 retries — proceeding"
+    break
+  fi
+  echo "[$(stamp)] pretrain leg dead at step $s — retry #$retries"
+  PRETRAIN_RUN=pretrain_r4c PRETRAIN_STEPS=$TARGET \
+    PRETRAIN_DEADLINE_MIN=75 RW=1,1.1,1.3 NIN=1.2,1,1.6 DENSE2=0.5 \
+    bash tools/run_campaign.sh "r5a_retry$retries" pretrain \
+    >> runs/campaign_r5a_retries.log 2>&1
 done
 echo "[$(stamp)] pretrain final step: $(step_now)"
 

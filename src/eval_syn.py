@@ -102,6 +102,12 @@ def main(args: argparse.Namespace):
             save_audio_file("./debug/gt" + sample_name + ".wav", gt,
                             sample_rate=args.sr, rescale=False)
         records.append(row)
+        if args.save_id < 0:
+            # rewrite incrementally so a deadline/stall kill mid-set still
+            # leaves every finished sample on disk (the campaign driver's
+            # per-radius watchdog boxes make end-only writes lossy)
+            pd.DataFrame.from_records(records).to_csv(
+                os.path.join(args.output_dir, "results.csv"))
         if args.save_id >= 0:
             break
 

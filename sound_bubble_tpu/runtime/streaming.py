@@ -99,5 +99,16 @@ def streaming_inference_scan(net, params, x, chunk_size: int, pad_length: int,
         return out["next_state"], out["output"]
 
     state = init_state(net.cfg, b)
-    _, ys = jax.lax.scan(body, state, windows)          # [N, B, S, chunk]
+    # serving is forward-only, where the direction-fused BLSTM scan halves
+    # lax.scan iteration count for ~10% throughput (batch-512 bf16 chunk
+    # 3.336 -> 2.998 ms measured on TPU v5e; training is bwd-dominated so
+    # the same fusion is neutral there and stays opt-in) — trace this scan
+    # with dir-fuse on, restoring the caller's flag after
+    from sound_bubble_tpu.ops import rnn as _rnn
+    old_df = _rnn._DIR_FUSE
+    _rnn.set_dir_fuse(True)
+    try:
+        _, ys = jax.lax.scan(body, state, windows)      # [N, B, S, chunk]
+    finally:
+        _rnn.set_dir_fuse(old_df)
     return jnp.moveaxis(ys, 0, -2).reshape(b, ys.shape[2], -1)

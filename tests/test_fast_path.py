@@ -98,3 +98,32 @@ def test_fused_scan_matches_feed_loop(rng):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+
+
+@pytest.mark.parametrize("variant", ["cond", "conv_lstm"])
+def test_streaming_scan_matches_loop(variant, rng):
+    """The one-dispatch serving path (streaming_inference_scan, which traces
+    its scan with the direction-fused BLSTM on — the measured TPU serving
+    default) is numerically the python chunk loop."""
+    from sound_bubble_tpu.ops import rnn as _rnn
+    from sound_bubble_tpu.runtime.streaming import streaming_inference_scan
+
+    params_dict = dict(SMALL)
+    if variant == "conv_lstm":
+        params_dict.update(conv_lstm=True, lstm_down=5)
+    net = make_net(params_dict, conditional=True)
+    cfg = net.cfg
+    chunk, pad = cfg.stft_chunk_size, cfg.stft_pad_size
+    x = rng.standard_normal((1, 6, pad + chunk * 6)).astype(np.float32) * 3
+    dis = [[0.0, 1.0, 0.0]]
+    variables = net.init(jax.random.PRNGKey(0),
+                         {"mixture": jnp.asarray(x[..., :cfg.n_fft]),
+                          "dis_embed": jnp.asarray(dis)})
+    w = ModelWrapper(net, variables["params"])
+    ref = np.asarray(streaming_inference(w, x, chunk, pad, dis_embed=dis))
+    flag_before = _rnn._DIR_FUSE
+    got = np.asarray(streaming_inference_scan(
+        net, variables["params"], x, chunk, pad, dis_embed=dis))
+    assert _rnn._DIR_FUSE == flag_before  # caller's flag restored
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)
